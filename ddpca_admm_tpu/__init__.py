@@ -1,0 +1,28 @@
+"""ddpca_admm_tpu — TPU-native Domain-Decomposition Parallel Contact Analysis by ADMM.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+C++/OpenMP code QuanchengP/DDPCA-ADMM (3-D linear-elastic multibody frictional
+contact on adaptively refined octree hex meshes, solved by an ADMM domain
+decomposition with geometric-multigrid preconditioned Krylov subdomain solvers,
+plus a dual-mortar monolithic comparison solver).
+
+Architecture (TPU-first, not a port):
+  * setup phase  — host NumPy/SciPy float64: meshing, octree refinement,
+    contact search / mortar clipping, operator assembly.  Output: frozen,
+    padded arrays (static shapes for XLA).
+  * solve phase  — pure JAX, jitted: batched per-subdomain multigrid-
+    preconditioned Krylov (Chebyshev smoother instead of the reference's
+    row-sequential symmetric Gauss-Seidel, which cannot vectorize), ADMM
+    consensus loop as ``lax.while_loop``, interface collectives via
+    ``shard_map`` over a device mesh.
+
+Contact analysis needs 1e-12-scale tolerances (reference MCONTACT.h:2733),
+so float64 is enabled globally; hot kernels may internally drop to f32/bf16
+with f64 residual correction.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

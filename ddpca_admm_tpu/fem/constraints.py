@@ -1,0 +1,219 @@
+"""Constraint application and multigrid hierarchy finalization.
+
+Host-side (scipy) re-design of MULTIGRID::CONSTRAINT (MULTIGRID.h:1102-1255):
+
+  1. congruence with per-node rotation matrices (cylindrical frames),
+  2. level-reordering permutation of DOFs,
+  3. 3-DOF prolongations from the scalar ones (with rotation compensation),
+  4. Galerkin coarsening of the stiffness down the hierarchy,
+  5. Dirichlet elimination by row/col selection -> consStif per level,
+     reduced RHS, and realProl[l] = C_{l+1} P_l C_l^T.
+
+The output also precomputes the two operators the jitted ADMM loop needs per
+body (replacing OUTP_SUB1 / ADDITIONAL_FORCE, MULTIGRID.h:1257-1281):
+  expand:  u_reduced -> full nodal displacement   u_full = X u + d0
+  restrict (=X^T): full nodal force -> reduced rhs contribution
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..mesh.hexmesh import HexMesh
+
+
+def _rotation_blockdiag(n_nodes: int, node_rota: dict[int, np.ndarray]) -> sp.csr_matrix:
+    if not node_rota:
+        return sp.identity(3 * n_nodes, format="csr")
+    rows, cols, vals = [], [], []
+    ids = set(node_rota.keys())
+    plain = np.array([i for i in range(n_nodes) if i not in ids], dtype=np.int64)
+    for i in plain:
+        for k in range(3):
+            rows.append(3 * i + k)
+            cols.append(3 * i + k)
+            vals.append(1.0)
+    for i, R in node_rota.items():
+        for j in range(3):
+            for k in range(3):
+                rows.append(3 * i + j)
+                cols.append(3 * i + k)
+                vals.append(float(R[j, k]))
+    return sp.csr_matrix(
+        (vals, (rows, cols)), shape=(3 * n_nodes, 3 * n_nodes)
+    )
+
+
+def _expand_scalar_to_3dof(
+    P: sp.csr_matrix,
+    mesh: HexMesh,
+    node_rota: dict[int, np.ndarray],
+) -> sp.csr_matrix:
+    """prolOper[l] from scalProl[l] (MULTIGRID.h:1142-1181): identity block
+    expanded to 3 DOF; averaging rows become 3x3 blocks with rotation
+    compensation when exactly one endpoint of the pair has a nodal frame."""
+    n_cols = P.shape[1]
+    if not node_rota:
+        return sp.kron(P, sp.identity(3), format="csr")
+    rota_pos = {int(mesh.node_pos[n]) for n in node_rota}
+    coo = P.tocoo()
+    # entries whose 3x3 block stays v*I go through the fast kron path
+    plain = np.array(
+        [
+            (int(r) == int(c) and r < n_cols)
+            or (int(r) not in rota_pos and int(c) not in rota_pos)
+            or (int(r) in rota_pos and int(c) in rota_pos)
+            for r, c in zip(coo.row, coo.col)
+        ],
+        dtype=bool,
+    )
+    base = sp.coo_matrix(
+        (coo.data[plain], (coo.row[plain], coo.col[plain])), shape=P.shape
+    )
+    out = sp.kron(base, sp.identity(3), format="csr")
+    rows, cols, vals = [], [], []
+    eye = np.eye(3)
+    for r, c, v in zip(coo.row[~plain], coo.col[~plain], coo.data[~plain]):
+        off_node = int(mesh.pos_node[r])
+        fam_node = int(mesh.pos_node[c])
+        R_off = node_rota.get(off_node)
+        R_fam = node_rota.get(fam_node)
+        blk = v * eye
+        coup_case = fam_node == mesh.coup_reps and off_node in mesh.coup_nodes
+        if not coup_case:
+            # exactly one endpoint rotated here (both/neither use the kron path)
+            if R_off is not None:
+                blk = blk @ R_off.T
+            if R_fam is not None:
+                blk = blk @ R_fam
+        for j in range(3):
+            for k in range(3):
+                if blk[j, k] != 0.0:
+                    rows.append(3 * r + j)
+                    cols.append(3 * c + k)
+                    vals.append(blk[j, k])
+    corr = sp.csr_matrix(
+        (vals, (rows, cols)), shape=(3 * P.shape[0], 3 * P.shape[1])
+    )
+    return (out + corr).tocsr()
+
+
+@dataclass
+class ConstrainedSystem:
+    """Per-body constrained multigrid hierarchy (reference MGPIS data)."""
+
+    cons_stif: list[sp.csr_matrix]       # per level, Dirichlet-eliminated
+    real_prol: list[sp.csr_matrix]       # level l -> l+1 in reduced spaces
+    cons_forc: np.ndarray                # reduced RHS at finest level
+    expand: sp.csr_matrix                # reduced -> full 3N displacement
+    expand_const: np.ndarray             # Dirichlet contribution to full disp
+    n_levels: int = 0
+
+    def __post_init__(self) -> None:
+        self.n_levels = len(self.cons_stif)
+
+    @property
+    def n_dof(self) -> int:
+        return self.cons_stif[-1].shape[0]
+
+    def full_displacement(self, u_reduced: np.ndarray) -> np.ndarray:
+        """OUTP_SUB1 (MULTIGRID.h:1263-1281)."""
+        return self.expand @ u_reduced + self.expand_const
+
+    def additional_force(self, f_full: np.ndarray) -> np.ndarray:
+        """ADDITIONAL_FORCE (MULTIGRID.h:1257-1261)."""
+        return self.expand.T @ f_full
+
+
+def constrain(
+    mesh: HexMesh,
+    stif_full: sp.csr_matrix,
+    cons_dofv: dict[int, float],
+    exte_forc: dict[int, float],
+    node_rota: dict[int, np.ndarray] | None = None,
+    geom_mult: bool = True,
+) -> ConstrainedSystem:
+    """The CONSTRAINT pipeline.  ``stif_full`` is the assembled stiffness over
+    all nodes (hanging included), in original node numbering."""
+    node_rota = node_rota or {}
+    L = mesh.max_level
+    n_nodes = mesh.n_nodes
+
+    A = stif_full
+    if node_rota:
+        R = _rotation_blockdiag(n_nodes, node_rota)
+        A = (R.T @ A @ R).tocsr()
+
+    # level-reorder permutation: full DOF i=3*node+k -> 3*pos[node]+k
+    perm = (3 * mesh.node_pos[:, None] + np.arange(3)).ravel()  # old dof->new dof
+    Pmat = sp.csr_matrix(
+        (np.ones(3 * n_nodes), (np.arange(3 * n_nodes), perm)),
+        shape=(3 * n_nodes, 3 * n_nodes),
+    )  # maps new-ordered vectors to old ordering: x_old = Pmat @ x_new
+    A = (Pmat.T @ A @ Pmat).tocsr()
+
+    # 3-DOF prolongations + Galerkin coarsening
+    levels = range(L + 1) if geom_mult else [L]
+    prol = {l: _expand_scalar_to_3dof(mesh.scal_prol[l], mesh, node_rota) for l in levels}
+    orig = {L + 1: A}
+    for l in sorted(levels, reverse=True):
+        orig[l] = (prol[l].T @ orig[l + 1] @ prol[l]).tocsr()
+
+    # constraint flags in reordered positions
+    cum = np.cumsum([0] + [nodes.size for nodes in mesh.level_nodes])
+    n_solve = 3 * int(cum[L + 1])       # DOFs at finest solve level (no hanging)
+    cons_flag = np.ones(3 * n_nodes, dtype=bool)
+    disp_full = np.zeros(3 * n_nodes)
+    for dof, val in cons_dofv.items():
+        node, comp = dof // 3, dof % 3
+        cons_flag[3 * mesh.node_pos[node] + comp] = False
+        disp_full[3 * mesh.node_pos[node] + comp] = val
+
+    # external force to reduced space
+    f_full = np.zeros(3 * n_nodes)
+    for dof, val in exte_forc.items():
+        f_full[dof] += val
+    f_lvl = prol[L].T @ (Pmat.T @ f_full)
+
+    cons_stif: list[sp.csr_matrix] = []
+    selectors: dict[int, sp.csr_matrix] = {}
+    for l in levels:
+        nl = orig[l].shape[0]
+        keep = np.nonzero(cons_flag[:nl])[0]
+        C = sp.csr_matrix(
+            (np.ones(keep.size), (np.arange(keep.size), keep)), shape=(keep.size, nl)
+        )
+        selectors[l] = C
+        cons_stif.append((C @ orig[l] @ C.T).tocsr())
+
+    # reduced RHS with Dirichlet lift at the finest level
+    C_L = selectors[L]
+    fixed = np.nonzero(~cons_flag[:n_solve])[0]
+    lift = np.zeros(n_solve)
+    lift[fixed] = disp_full[fixed]
+    cons_forc = C_L @ f_lvl - C_L @ (orig[L] @ lift)
+
+    real_prol = []
+    if geom_mult:
+        for l in range(L):
+            real_prol.append(
+                (selectors[l + 1] @ prol[l] @ selectors[l].T).tocsr()
+            )
+
+    # expansion operator: reduced -> full original-order displacement
+    # u_full = Pmat @ prol[L] @ (C_L^T u + lift); rotation NOT re-applied here
+    # (matches OUTP_SUB1; OUTP_SUB2 applies nodeRota on output only).
+    expand = (Pmat @ prol[L] @ C_L.T).tocsr()
+    expand_const = Pmat @ (prol[L] @ lift)
+
+    sysm = ConstrainedSystem(
+        cons_stif=[cons_stif[i] for i in range(len(cons_stif))],
+        real_prol=real_prol,
+        cons_forc=cons_forc,
+        expand=expand,
+        expand_const=expand_const,
+    )
+    return sysm

@@ -1,0 +1,189 @@
+"""Batched geometric-multigrid V-cycle for TPU.
+
+Re-design of the reference MGPIS (MGPIS.h:40-128).  The reference smoother is
+one symmetric Gauss-Seidel sweep written as two sequential triangular solves
+(MGPIS.h:64-77) — inherently row-sequential and unvectorizable.  Here it is
+replaced by a degree-``CHEB_DEGREE`` Chebyshev polynomial smoother on
+D^{-1}A (documented deviation; the multigrid convergence criterion and the
+outer Krylov tolerances are unchanged).  The coarsest level uses a dense
+Cholesky factor (reference: cached SimplicialLDLT, MGPIS.h:57-60) — on TPU a
+padded dense triangular solve batched over subdomains.
+
+All level operators are batched ELL matrices with a leading ``domain`` axis:
+one V-cycle call smooths *all* subdomains at once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+import scipy.sparse as sp
+
+from ..sparse.ell import Ell, stack_ells, to_device
+
+CHEB_DEGREE = 3
+CHEB_LOWER_FRACTION = 0.25   # smoothing interval [lmax/4, 1.02*lmax]
+CHEB_UPPER_SAFETY = 1.02
+
+
+class MgLevel(NamedTuple):
+    A: Ell            # (B, n_l, kA) stiffness at this level
+    inv_diag: jnp.ndarray  # (B, n_l)
+    lmax: jnp.ndarray      # (B,) upper eigenvalue estimate of D^{-1}A
+    P: Ell | None     # prolongation from level below: (B, n_l, kP), or None at 0
+    Pt: Ell | None    # restriction to level below: (B, n_{l-1}, kR)
+
+
+class MgHierarchy(NamedTuple):
+    levels: tuple[MgLevel, ...]   # index 0 = coarsest
+    coarse_chol: jnp.ndarray      # (B, n0, n0) lower Cholesky factors (padded I)
+
+
+def estimate_lmax(A: sp.spmatrix, iters: int = 20, seed: int = 0) -> float:
+    """Power iteration upper bound for lambda_max(D^{-1}A) (host, setup)."""
+    A = A.tocsr()
+    d = A.diagonal()
+    d = np.where(d > 0, d, 1.0)
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(A.shape[0])
+    x /= np.linalg.norm(x)
+    lam = 1.0
+    for _ in range(iters):
+        y = (A @ x) / d
+        lam = float(np.linalg.norm(y))
+        if lam == 0.0:
+            return 1.0
+        x = y / lam
+    return lam
+
+
+def build_hierarchy(
+    cons_stif: list[list[sp.spmatrix]],
+    real_prol: list[list[sp.spmatrix]],
+    dtype=jnp.float64,
+) -> MgHierarchy:
+    """Build a batched hierarchy from per-subdomain scipy matrices.
+
+    ``cons_stif[b][l]`` level-l constrained stiffness of subdomain b
+    (l=0 coarsest); ``real_prol[b][l]`` maps level l -> l+1.  All subdomains
+    must have the same number of levels; shapes are padded to the batch max.
+    """
+    B = len(cons_stif)
+    L = len(cons_stif[0])
+    assert all(len(cs) == L for cs in cons_stif), "uniform level count required"
+
+    levels = []
+    for l in range(L):
+        mats = [cons_stif[b][l] for b in range(B)]
+        n_pad = max(m.shape[0] for m in mats)
+        # pad diagonal with 1.0 so padded rows stay decoupled identity
+        padded = []
+        for m in mats:
+            m = m.tocsr()
+            if m.shape[0] < n_pad:
+                extra = n_pad - m.shape[0]
+                m = sp.block_diag([m, sp.identity(extra)], format="csr")
+            padded.append(m)
+        A = stack_ells(padded, n_rows=n_pad, n_cols=n_pad)
+        diag = np.stack([np.asarray(m.diagonal()) for m in padded])
+        inv_diag = np.where(diag != 0.0, 1.0 / np.where(diag == 0, 1, diag), 1.0)
+        lmax = np.array([estimate_lmax(m) for m in padded])
+        if l > 0:
+            pmats = [real_prol[b][l - 1] for b in range(B)]
+            n_fine = n_pad
+            n_coar = levels[-1]["n_pad"]
+            P = stack_ells(pmats, n_rows=n_fine, n_cols=n_coar)
+            Pt = stack_ells([m.T.tocsr() for m in pmats], n_rows=n_coar, n_cols=n_fine)
+        else:
+            P = Pt = None
+        levels.append(
+            dict(A=A, inv_diag=inv_diag, lmax=lmax, P=P, Pt=Pt, n_pad=n_pad)
+        )
+
+    # coarse dense Cholesky factors (host scipy, shipped to device)
+    n0 = levels[0]["n_pad"]
+    chol = np.zeros((B, n0, n0))
+    for b in range(B):
+        m = cons_stif[b][0].toarray()
+        nb = m.shape[0]
+        dense = np.eye(n0)
+        dense[:nb, :nb] = m
+        chol[b] = scipy.linalg.cholesky(dense, lower=True)
+
+    dev_levels = tuple(
+        MgLevel(
+            A=to_device(lv["A"], dtype),
+            inv_diag=jnp.asarray(lv["inv_diag"], dtype),
+            lmax=jnp.asarray(lv["lmax"], dtype),
+            P=to_device(lv["P"], dtype) if lv["P"] is not None else None,
+            Pt=to_device(lv["Pt"], dtype) if lv["Pt"] is not None else None,
+        )
+        for lv in levels
+    )
+    return MgHierarchy(levels=dev_levels, coarse_chol=jnp.asarray(chol, dtype))
+
+
+def chebyshev_smooth(
+    A: Ell,
+    inv_diag: jnp.ndarray,
+    lmax: jnp.ndarray,
+    b: jnp.ndarray,
+    x: jnp.ndarray,
+    degree: int = CHEB_DEGREE,
+) -> jnp.ndarray:
+    """Chebyshev(degree) smoothing of A x = b on [lmax*frac, lmax*safety].
+
+    Saad, Iterative Methods for Sparse Linear Systems, Alg. 12.1, with Jacobi
+    left preconditioning.  ``lmax`` may carry batch axes matching b's.
+    """
+    lmax_s = (CHEB_UPPER_SAFETY * lmax)[..., None]
+    lmin_s = (CHEB_LOWER_FRACTION * lmax)[..., None]
+    theta = 0.5 * (lmax_s + lmin_s)
+    delta = 0.5 * (lmax_s - lmin_s)
+    r = b - A.mv(x)
+    d = inv_diag * r / theta
+    x = x + d
+    rho = delta / theta
+    for _ in range(degree - 1):
+        r = r - A.mv(d)
+        rho_new = 1.0 / (2.0 * theta / delta - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * (inv_diag * r)
+        x = x + d
+        rho = rho_new
+    return x
+
+
+def coarse_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched dense Cholesky solve (B,n0,n0) x (B,n0)."""
+    y = jax.scipy.linalg.solve_triangular(chol, b[..., None], lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(chol, -1, -2), y, lower=False
+    )
+    return x[..., 0]
+
+
+def vcycle(mg: MgHierarchy, b: jnp.ndarray, x: jnp.ndarray | None = None) -> jnp.ndarray:
+    """One V(1,1) cycle on the finest level (MGPIS::MULT_VCYC semantics with
+    the Chebyshev smoother).  b, x: (B, n_finest)."""
+    L = len(mg.levels) - 1
+
+    def cycle(l: int, bl: jnp.ndarray, xl: jnp.ndarray) -> jnp.ndarray:
+        if l == 0:
+            return coarse_solve(mg.coarse_chol, bl)
+        lv = mg.levels[l]
+        xl = chebyshev_smooth(lv.A, lv.inv_diag, lv.lmax, bl, xl)
+        r = bl - lv.A.mv(xl)
+        rc = lv.Pt.mv(r)
+        ec = cycle(l - 1, rc, jnp.zeros_like(rc))
+        xl = xl + lv.P.mv(ec)
+        xl = chebyshev_smooth(lv.A, lv.inv_diag, lv.lmax, bl, xl)
+        return xl
+
+    if x is None:
+        x = jnp.zeros_like(b)
+    return cycle(L, b, x)

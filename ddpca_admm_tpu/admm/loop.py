@@ -1,0 +1,241 @@
+"""The jitted ADMM contact-analysis loop (MCONTACT::CONTACT_ANALYSIS).
+
+Reference semantics (MCONTACT.h:2493-2723), re-designed as a single
+``lax.while_loop`` whose body runs entirely on device:
+
+  1. x-update: every subdomain solves (K + rho B^T B) u = f + B_p^T z - B^T l
+     — batched multigrid-preconditioned CG over the ``domain`` axis
+     (replacing the reference's per-subdomain cached LDLT / MG-CG dispatch).
+  2. gamma: interface traction trial at integral points + projection
+     (max(0,.) for contact, Coulomb cone clip for friction; none for perfect
+     interfaces) (MCONTACT.h:2632-2668).
+  3. z-update: per region side solve rho M z = B_p^T u + M l + E gamma
+     — batched Jacobi-PCG on the interface Gram matrices.
+  4. lambda-update: l += M^{-1} (B_p^T u - rho M z).
+  5. MONITOR: per-body ||du||^2 <= 1e-12 ||u||^2 and per-side
+     ||dz||^2 <= 1e-12 ||z||^2, full-space norms via the Gram trick
+     (MCONTACT.h:2725-2845); oscillation bookkeeping for freezing the coarse
+     correction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..solvers.krylov import pcg
+from ..solvers.mg import vcycle
+from ..utils.constants import (
+    ADMM_CRIT_DISP,
+    ADMM_CRIT_OSCI,
+    ADMM_MAX_ITER,
+    ADMM_MONI_CYCLE,
+    CG_RTOL,
+)
+from .problem import AdmmProblem, RegionGroup
+
+
+class GroupState(NamedTuple):
+    z: jnp.ndarray       # (R,2,m)
+    lam: jnp.ndarray     # (R,2,m)
+    gamma: jnp.ndarray   # (R,i)
+
+
+class AdmmState(NamedTuple):
+    u: jnp.ndarray                    # (B,n)
+    groups: tuple[GroupState, ...]
+    it: jnp.ndarray                   # scalar int
+    converged: jnp.ndarray            # scalar bool
+    moni: jnp.ndarray                 # (cycle, n_monitors) rolling buffer
+    mult_frozen: jnp.ndarray          # scalar bool (coarse correction freeze)
+    inner_iters: jnp.ndarray          # total inner CG iterations
+
+
+def _gather_u(u: jnp.ndarray, body_idx: jnp.ndarray) -> jnp.ndarray:
+    """u (B,n), body_idx (R,2) -> (R,2,n)."""
+    return u[body_idx]
+
+
+def _project_gamma(g: RegionGroup, gamma: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Contact projection (MCONTACT.h:2637-2668)."""
+    if mode == "scalar":
+        # frictionless contact: gamma_n <- max(0, gamma_n)
+        return jnp.maximum(gamma, 0.0) * g.i_mask
+    # vector mode: fric<0 perfect (no projection); fric>0 Coulomb
+    R, i_pad = gamma.shape
+    gn = gamma[:, 0::3]
+    gt1 = gamma[:, 1::3]
+    gt2 = gamma[:, 2::3]
+    is_contact = (g.fric >= 0.0)[:, None]
+    is_fric = (g.fric > 0.0)[:, None]
+    gn_p = jnp.where(is_contact, jnp.maximum(gn, 0.0), gn)
+    # Coulomb cone: ||gt|| <= mu * gn; open gap -> zero tangential
+    tnorm = jnp.sqrt(gt1**2 + gt2**2)
+    slide = g.fric[:, None] * gn_p
+    scale = jnp.where(tnorm >= jnp.maximum(slide, 0.0),
+                      slide / jnp.where(tnorm == 0.0, 1.0, tnorm), 1.0)
+    scale = jnp.where(gn_p > 0.0, scale, 0.0)
+    gt1_p = jnp.where(is_fric, gt1 * scale, gt1)
+    gt2_p = jnp.where(is_fric, gt2 * scale, gt2)
+    out = jnp.zeros_like(gamma)
+    out = out.at[:, 0::3].set(gn_p)
+    out = out.at[:, 1::3].set(gt1_p)
+    out = out.at[:, 2::3].set(gt2_p)
+    return out * g.i_mask
+
+
+def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
+                   inner_maxiter: int = 500, inner_rtol: float = CG_RTOL,
+                   mass_maxiter: int = 200):
+    """Build the jitted single-iteration function."""
+    mg = prob.mg
+    top = mg.levels[-1]
+
+    def body_solve(rhs, x0):
+        # warm start from the previous ADMM iterate: the solve is still run
+        # to 1e-14*||b|| (reference-exact), but increments shrink as ADMM
+        # converges, so late iterations cost only a few V-cycles.
+        res = pcg(top.A.mv, lambda r: vcycle(mg, r), rhs,
+                  x0=x0, rtol=inner_rtol, maxiter=inner_maxiter)
+        return res.x, res.iters
+
+    def step(state: AdmmState) -> AdmmState:
+        # ---------------------------------------------------- x-update rhs
+        rhs = prob.cons_forc
+        for g, gs in zip(prob.groups, state.groups):
+            contrib = g.TtP.mv(gs.z) - g.Tt.mv(gs.lam)       # (R,2,n)
+            flat = contrib.reshape(-1, contrib.shape[-1])
+            idx = g.body_idx.reshape(-1)
+            rhs = rhs + jax.ops.segment_sum(
+                flat, idx, num_segments=rhs.shape[0]
+            )
+        rhs = rhs * prob.u_mask
+        u, inner_it = body_solve(rhs, state.u)
+
+        new_groups = []
+        moni_parts = [  # (value, allowance) pairs for convergence
+        ]
+        # body monitors: full-space ||du||^2 vs ||u||^2 via Gram
+        du = u - state.u
+        G_du = prob.gram.mv(du)
+        du2 = (du * G_du).sum(-1)
+        G_u = prob.gram.mv(u)
+        u2 = (u * G_u).sum(-1) + 2.0 * (prob.gram_lin * u).sum(-1) + prob.gram_const
+        moni_vals = [du2]
+        moni_allow = [u2]
+
+        for g, gs, mode in zip(prob.groups, state.groups, modes):
+            u_rs = _gather_u(u, g.body_idx)                   # (R,2,n)
+            bpu = g.Bp.mv(u_rs) + g.bp_const                  # (R,2,m)
+            # ------------------------------------------------------ gamma
+            lam_ip = g.L.mv(gs.lam)                           # (R,2,i)
+            pd_u = g.Pd.mv(u_rs) + g.pd_const                 # (R,2,i)
+            gamma = 0.5 * (
+                lam_ip[:, 0] - lam_ip[:, 1] + pd_u[:, 0] - pd_u[:, 1] - g.rho_g
+            )
+            gamma = _project_gamma(g, gamma, mode)
+            # ---------------------------------------------------- z-update
+            gamma_b = jnp.broadcast_to(
+                gamma[:, None, :], (gamma.shape[0], 2, gamma.shape[1])
+            )
+            e_gamma = g.E.mv(gamma_b)                         # (R,2,m)
+            z_rhs = (bpu + g.M.mv(gs.lam) + e_gamma) * g.m_mask
+            z = pcg(
+                g.Mp.mv,
+                lambda r: r / g.Mp_diag,
+                z_rhs,
+                x0=gs.z,
+                rtol=inner_rtol,
+                maxiter=mass_maxiter,
+            ).x
+            # ----------------------------------------------- lambda-update
+            l_rhs = (bpu - g.Mp.mv(z)) * g.m_mask
+            dlam = pcg(
+                g.M.mv,
+                lambda r: r / g.M_diag,
+                l_rhs,
+                rtol=inner_rtol,
+                maxiter=mass_maxiter,
+            ).x
+            lam = gs.lam + dlam
+            new_groups.append(GroupState(z=z, lam=lam, gamma=gamma))
+            # ---------------------------------------------------- monitors
+            dz2 = ((z - gs.z) ** 2).sum(-1)                   # (R,2)
+            z2 = (z**2).sum(-1)
+            moni_vals.append(dz2.reshape(-1))
+            moni_allow.append(z2.reshape(-1))
+
+        vals = jnp.concatenate(moni_vals)
+        allow = jnp.concatenate(moni_allow)
+        moni = state.moni.at[state.it % ADMM_MONI_CYCLE].set(vals)
+
+        # convergence: every monitor below crit * allowance (MCONTACT.h:2760)
+        converged = jnp.all(vals <= ADMM_CRIT_DISP * allow)
+
+        # oscillation freeze for the coarse correction (MCONTACT.h:2749-2758,
+        # 2838-2840): all monitors' 10-sample oscillation < 0.1 * median
+        medi = 0.5 * (moni.max(axis=0) + moni.min(axis=0))
+        osci = moni.max(axis=0) - moni.min(axis=0)
+        osc_ok = jnp.all(osci <= ADMM_CRIT_OSCI * medi)
+        mult_frozen = jnp.logical_or(
+            state.mult_frozen,
+            jnp.logical_and(state.it >= ADMM_MONI_CYCLE, osc_ok),
+        )
+
+        return AdmmState(
+            u=u,
+            groups=tuple(new_groups),
+            it=state.it + 1,
+            converged=converged,
+            moni=moni,
+            mult_frozen=mult_frozen,
+            inner_iters=state.inner_iters + inner_it,
+        )
+
+    return step
+
+
+def init_state(prob: AdmmProblem) -> AdmmState:
+    B, n = prob.cons_forc.shape
+    groups = []
+    n_moni = B
+    for g in prob.groups:
+        R, _, m = g.bp_const.shape
+        i = g.rho_g.shape[1]
+        groups.append(
+            GroupState(
+                z=jnp.zeros((R, 2, m)),
+                lam=jnp.zeros((R, 2, m)),
+                gamma=jnp.zeros((R, i)),
+            )
+        )
+        n_moni += 2 * R
+    return AdmmState(
+        u=jnp.zeros((B, n)),
+        groups=tuple(groups),
+        it=jnp.zeros((), jnp.int32),
+        converged=jnp.zeros((), bool),
+        moni=jnp.full((ADMM_MONI_CYCLE, n_moni), jnp.inf),
+        mult_frozen=jnp.zeros((), bool),
+        inner_iters=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("modes", "max_iter", "inner_maxiter"))
+def contact_analysis(
+    prob: AdmmProblem,
+    modes: tuple[str, ...],
+    max_iter: int = ADMM_MAX_ITER,
+    inner_maxiter: int = 500,
+) -> AdmmState:
+    """Run the full ADMM loop to convergence (or max_iter)."""
+    step = make_admm_step(prob, modes, inner_maxiter=inner_maxiter)
+    state0 = init_state(prob)
+
+    def cond(state: AdmmState):
+        return jnp.logical_and(state.it < max_iter, ~state.converged)
+
+    return jax.lax.while_loop(cond, step, state0)

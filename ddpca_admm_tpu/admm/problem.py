@@ -1,0 +1,216 @@
+"""Device-side ADMM problem: padded/stacked pytrees built from host operators.
+
+This is the bridge between the host setup (meshes, ConstrainedSystem,
+RegionOps) and the jitted solve loop.  Key TPU design decision: every
+operator the hot loop applies against body displacements is pre-composed with
+the body's reduced-space expansion X (u_full = X u + d0), so loop state is
+only (u_reduced per body, z/lambda per region side) — no 3N-DOF vectors, no
+host round-trips.
+
+  x-update rhs contribution:  TtP @ z - Tt @ lam    (TtP = X^T systTran_pena)
+  interface trace:            Bp @ u + bp_const     (Bp = systTran_pena^T X)
+  gamma displacement part:    Pd @ u + pd_const     (Pd = pemaInpo inpoDisp X)
+
+Convergence monitoring reproduces the reference's *full-space* norms via the
+precomputed Gram matrix G = X^T X:  ||du_full||^2 = du^T G du
+(MCONTACT.h:2737-2743 semantics without materializing full vectors).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..fem.constraints import ConstrainedSystem
+from ..solvers.mg import MgHierarchy, build_hierarchy
+from ..sparse.ell import Ell, stack_ells, to_device
+from .operators import RegionOps
+
+
+class RegionGroup(NamedTuple):
+    """Stacked operators for all regions of one DOF mode ('scalar'/'vector').
+
+    Leading axes: R regions x 2 sides.  m = interface DOFs, i = integral-point
+    DOFs, n = body reduced DOFs (padded to group/batch maxima).
+    """
+
+    body_idx: jnp.ndarray    # (R,2) int32
+    TtP: Ell                 # (R,2,n,kt): X^T systTran_pena
+    Tt: Ell                  # (R,2,n,kt): X^T systTran
+    Bp: Ell                  # (R,2,m,kb): systTran_pena^T X
+    bp_const: jnp.ndarray    # (R,2,m)
+    M: Ell                   # (R,2,m,km) inteMass
+    Mp: Ell                  # (R,2,m,km) inteMass_pena
+    M_diag: jnp.ndarray      # (R,2,m)
+    Mp_diag: jnp.ndarray
+    L: Ell                   # (R,2,i,kl) inpoLagr
+    Pd: Ell                  # (R,2,i,kp) pemaInpo inpoDisp X
+    pd_const: jnp.ndarray    # (R,2,i)
+    E: Ell                   # (R,2,m,ke) inteInpo
+    rho_g: jnp.ndarray       # (R,i) pemaInpo @ inpoNgap
+    fric: jnp.ndarray        # (R,)
+    m_mask: jnp.ndarray      # (R,2,m) valid interface dof
+    i_mask: jnp.ndarray      # (R,i) valid integral-point dof
+
+    @property
+    def n_regions(self) -> int:
+        return self.body_idx.shape[0]
+
+
+class AdmmProblem(NamedTuple):
+    mg: MgHierarchy            # batched body hierarchies
+    cons_forc: jnp.ndarray     # (B,n)
+    gram: Ell                  # (B,n,kg) X^T X
+    gram_lin: jnp.ndarray      # (B,n)   X^T d0
+    gram_const: jnp.ndarray    # (B,)    ||d0||^2
+    groups: tuple[RegionGroup, ...]   # scalar and/or vector groups
+    u_mask: jnp.ndarray        # (B,n) valid reduced dof
+
+
+@dataclass
+class AdmmMeta:
+    """Host-side metadata for unpacking results."""
+
+    systems: list[ConstrainedSystem]
+    regions: list[RegionOps]
+    group_modes: list[str]
+    group_region_idx: list[list[int]]   # global region index per group slot
+    n_pad: int
+
+
+def _compose(ops, X: sp.csr_matrix, d0: np.ndarray, side: int):
+    """Pre-compose one region side with the body expansion."""
+    s = ops.sides[side]
+    TtP = (X.T @ s.syst_tran_pena).tocsr()   # (n x m)
+    Tt = (X.T @ s.syst_tran).tocsr()
+    Bp = (s.syst_tran_pena.T @ X).tocsr()    # (m x n)
+    bp_const = s.syst_tran_pena.T @ d0
+    pema = sp.diags(ops.pema)
+    Pd = (pema @ s.inpo_disp @ X).tocsr()    # (i x n)
+    pd_const = pema @ (s.inpo_disp @ d0)
+    return TtP, Tt, Bp, bp_const, Pd, pd_const
+
+
+def build_problem(
+    systems: Sequence[ConstrainedSystem],
+    regions: Sequence[RegionOps],
+) -> tuple[AdmmProblem, AdmmMeta]:
+    B = len(systems)
+    mg = build_hierarchy(
+        [s.cons_stif for s in systems], [s.real_prol for s in systems]
+    )
+    n_pad = mg.levels[-1].A.n_rows
+    cons_forc = np.zeros((B, n_pad))
+    gram_mats, gram_lin, gram_const = [], np.zeros((B, n_pad)), np.zeros(B)
+    u_mask = np.zeros((B, n_pad), dtype=bool)
+    for b, s in enumerate(systems):
+        nb = s.n_dof
+        cons_forc[b, :nb] = s.cons_forc
+        G = (s.expand.T @ s.expand).tocsr()
+        gram_mats.append(G)
+        gram_lin[b, :nb] = s.expand.T @ s.expand_const
+        gram_const[b] = float(s.expand_const @ s.expand_const)
+        u_mask[b, :nb] = True
+    gram = stack_ells(gram_mats, n_rows=n_pad, n_cols=n_pad)
+
+    # group regions by mode
+    modes = sorted({r.region.mode for r in regions})
+    groups = []
+    group_region_idx = []
+    for mode in modes:
+        idx = [i for i, r in enumerate(regions) if r.region.mode == mode]
+        group_region_idx.append(idx)
+        regs = [regions[i] for i in idx]
+        R = len(regs)
+        m_pad = max(r.sides[s].inte_mass.shape[0] for r in regs for s in (0, 1))
+        i_pad = max(r.pema.size for r in regs)
+
+        body_idx = np.array([r.region.bodies for r in regs], dtype=np.int32)
+        fric = np.array([r.region.fric for r in regs])
+
+        def stacked(mats, n_rows, n_cols):
+            e = stack_ells(mats, n_rows=n_rows, n_cols=n_cols)
+            return Ell(
+                vals=e.vals.reshape(R, 2, *e.vals.shape[1:]),
+                cols=e.cols.reshape(R, 2, *e.cols.shape[1:]),
+                n_cols=e.n_cols,
+            )
+
+        comp = {
+            (i, s): _compose(r, systems[r.region.bodies[s]].expand,
+                             systems[r.region.bodies[s]].expand_const, s)
+            for i, r in enumerate(regs) for s in (0, 1)
+        }
+        sides2 = [(i, s) for i in range(R) for s in (0, 1)]
+        TtP = stacked([comp[k][0] for k in sides2], n_pad, m_pad)
+        Tt = stacked([comp[k][1] for k in sides2], n_pad, m_pad)
+        Bp = stacked([comp[k][2] for k in sides2], m_pad, n_pad)
+        Pd = stacked([comp[k][4] for k in sides2], i_pad, n_pad)
+        M = stacked([regs[i].sides[s].inte_mass for i, s in sides2], m_pad, m_pad)
+        Mp = stacked(
+            [regs[i].sides[s].inte_mass_pena for i, s in sides2], m_pad, m_pad
+        )
+        L = stacked([regs[i].sides[s].inpo_lagr for i, s in sides2], i_pad, m_pad)
+        E = stacked([regs[i].sides[s].inte_inpo for i, s in sides2], m_pad, i_pad)
+
+        bp_const = np.zeros((R, 2, m_pad))
+        pd_const = np.zeros((R, 2, i_pad))
+        M_diag = np.ones((R, 2, m_pad))
+        Mp_diag = np.ones((R, 2, m_pad))
+        m_mask = np.zeros((R, 2, m_pad), dtype=bool)
+        i_mask = np.zeros((R, i_pad), dtype=bool)
+        rho_g = np.zeros((R, i_pad))
+        for i, r in enumerate(regs):
+            i_mask[i, : r.pema.size] = True
+            rho_g[i, : r.pema.size] = r.pema * r.ngap
+            for s in (0, 1):
+                mdof = r.sides[s].inte_mass.shape[0]
+                m_mask[i, s, :mdof] = True
+                bp_const[i, s, :mdof] = comp[(i, s)][3]
+                pd_const[i, s, : r.pema.size] = comp[(i, s)][5]
+                M_diag[i, s, :mdof] = r.sides[s].inte_mass.diagonal()
+                Mp_diag[i, s, :mdof] = r.sides[s].inte_mass_pena.diagonal()
+
+        groups.append(
+            RegionGroup(
+                body_idx=jnp.asarray(body_idx),
+                TtP=to_device(TtP),
+                Tt=to_device(Tt),
+                Bp=to_device(Bp),
+                bp_const=jnp.asarray(bp_const),
+                M=to_device(M),
+                Mp=to_device(Mp),
+                M_diag=jnp.asarray(M_diag),
+                Mp_diag=jnp.asarray(Mp_diag),
+                L=to_device(L),
+                Pd=to_device(Pd),
+                pd_const=jnp.asarray(pd_const),
+                E=to_device(E),
+                rho_g=jnp.asarray(rho_g),
+                fric=jnp.asarray(fric),
+                m_mask=jnp.asarray(m_mask),
+                i_mask=jnp.asarray(i_mask),
+            )
+        )
+
+    prob = AdmmProblem(
+        mg=mg,
+        cons_forc=jnp.asarray(cons_forc),
+        gram=to_device(gram),
+        gram_lin=jnp.asarray(gram_lin),
+        gram_const=jnp.asarray(gram_const),
+        groups=tuple(groups),
+        u_mask=jnp.asarray(u_mask),
+    )
+    meta = AdmmMeta(
+        systems=list(systems),
+        regions=list(regions),
+        group_modes=modes,
+        group_region_idx=group_region_idx,
+        n_pad=n_pad,
+    )
+    return prob, meta

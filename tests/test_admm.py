@@ -1,0 +1,83 @@
+"""End-to-end ADMM integration tests: the two-body contact patch test and the
+perfect-interface consistency test (the reference's physics-based test
+strategy, SURVEY.md section 4, on minimal geometry)."""
+
+import numpy as np
+
+from ddpca_admm_tpu.admm.loop import contact_analysis
+from ddpca_admm_tpu.models.simple import (
+    split_box_problem,
+    stacked_boxes_problem,
+)
+
+
+def test_stacked_boxes_patch():
+    """Frictionless contact patch test: uniform pressure must transmit
+    through the non-matching interface; displacement linear in z."""
+    prob, meta, bodies = stacked_boxes_problem(div_bot=3, div_top=2, levels=0)
+    state = contact_analysis(prob, tuple(meta.group_modes), max_iter=800)
+    assert bool(state.converged), f"no convergence in {int(state.it)} iters"
+
+    E, nu, p = 210.0e9, 0.3, -1.0e7
+    for b, (body, sysm) in enumerate(zip(bodies, meta.systems)):
+        u = np.asarray(state.u[b])[: sysm.n_dof]
+        full = sysm.full_displacement(u)
+        uz = full[2::3]
+        expect = p * body.mesh.coords[:, 2] / E
+        scale = np.abs(expect).max()
+        assert np.allclose(uz, expect, atol=2e-3 * scale), (
+            f"body {b}: max err {np.abs(uz - expect).max() / scale}"
+        )
+        ux = full[0::3]
+        expect_x = -nu * p * body.mesh.coords[:, 0] / E
+        assert np.allclose(ux, expect_x, atol=2e-3 * scale)
+
+    # contact pressure: gamma_n ~ -p at every integral point
+    gs = state.groups[0]
+    gamma = np.asarray(gs.gamma)[0]
+    ip = meta.regions[0].region.ip
+    assert np.allclose(gamma[: ip.n], -p, rtol=2e-3)
+
+
+def test_split_box_matches_monolithic():
+    """Perfect interface (vector mode): DD result == single-body result."""
+    import scipy.sparse.linalg as spla
+
+    from ddpca_admm_tpu.fem.assembly import assemble_stiffness
+    from ddpca_admm_tpu.fem.constraints import constrain
+    from ddpca_admm_tpu.mesh.hexmesh import HexMesh
+    from ddpca_admm_tpu.models.simple import (
+        Body,
+        apply_pressure,
+        fix_plane,
+        plane_predicate,
+    )
+
+    prob, meta, bodies = split_box_problem(div=2, levels=0)
+    state = contact_analysis(prob, tuple(meta.group_modes), max_iter=800)
+    assert bool(state.converged), f"no convergence in {int(state.it)} iters"
+
+    # monolithic oracle
+    mono = HexMesh()
+    mono.add_box_grid(np.zeros(3), np.array([0.25, 0.5, 0.5]), (4, 2, 2))
+    mono.transfer()
+    mb = Body(mesh=mono)
+    fix_plane(mb, 2, 0.0, (0, 1, 2))
+    apply_pressure(mb, plane_predicate(2, 1.0), np.array([0, 0, -1.0e7]))
+    A = assemble_stiffness(mono, mb.e_mod, mb.nu)
+    sysm = constrain(mono, A, mb.cons_dofv, mb.exte_forc)
+    u_mono = sysm.full_displacement(
+        spla.spsolve(sysm.cons_stif[-1].tocsc(), sysm.cons_forc)
+    )
+
+    scale = np.abs(u_mono).max()
+    for b, bsys in enumerate(meta.systems):
+        u = np.asarray(state.u[b])[: bsys.n_dof]
+        full = bsys.full_displacement(u)
+        for i, c in enumerate(bodies[b].mesh.coords):
+            j = mono.add_nodes(c[None])[0]  # same coords exist in mono mesh
+            assert j < u_mono.size / 3
+            du = full[3 * i : 3 * i + 3] - u_mono[3 * j : 3 * j + 3]
+            assert np.linalg.norm(du) < 5e-4 * scale, (
+                f"body {b} node {i}: {du}"
+            )

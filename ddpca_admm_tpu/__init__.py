@@ -21,8 +21,20 @@ so float64 is enabled globally; hot kernels may internally drop to f32/bf16
 with f64 residual correction.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the ADMM loop is one large jitted program
+# (nested while_loops over the V-cycle); caching makes re-runs start instantly.
+_cache_dir = os.environ.get(
+    "DDPCA_JAX_CACHE", os.path.expanduser("~/.cache/ddpca_admm_tpu_jax")
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 __version__ = "0.1.0"

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..solvers.krylov import pcg
-from ..solvers.mg import vcycle
+from ..solvers.mg import coarse_solve, vcycle
 from ..utils.constants import (
     ADMM_CRIT_DISP,
     ADMM_CRIT_OSCI,
@@ -114,6 +114,25 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
             )
         rhs = rhs * prob.u_mask
         u, inner_it = body_solve(rhs, state.u)
+
+        # -------------------------- coarse-space correction (MULTISCALE_1,
+        # MCONTACT.h:2575-2624); applied until the oscillation monitor
+        # freezes it (MULT_MAXI semantics)
+        if prob.coarse is not None:
+            co = prob.coarse
+
+            def apply_coarse(u):
+                gf = co.forc0
+                for gs, tl in zip(state.groups, co.tranL):
+                    gf = gf + tl.mv(gs.lam).sum(axis=(0, 1))
+                gf = gf - co.tranD.mv(u.reshape(-1))
+                sol = coarse_solve(co.chol, gf)
+                du = co.accu.mv(sol).reshape(u.shape)
+                return u + du
+
+            u = jax.lax.cond(
+                state.mult_frozen, lambda v: v, apply_coarse, u
+            )
 
         new_groups = []
         moni_parts = [  # (value, allowance) pairs for convergence

@@ -27,6 +27,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..contact.search import IntegralPoints
+from ..fem.constraints import _rotation_blockdiag
 
 
 @dataclass
@@ -57,6 +58,11 @@ class RegionSideOps:
     inpo_lagr: sp.csr_matrix         # (idof, mdof)
     inpo_disp: sp.csr_matrix         # (idof, 3N)
     inte_inpo: sp.csr_matrix         # (mdof, idof)
+    # cross-body couplings for the coarse-space corrections (MULTISCALE_1,
+    # MCONTACT.h:1765-1804, 2155-2244); rotations applied on both sides
+    cross_mass: sp.csr_matrix        # (3N_self, 3N_mate): w N^T T'PT N_mate
+    cross_tran: sp.csr_matrix        # (3N_mate, mdof_self): w N_m^T T'(T N_c)
+    self_mass_rot: sp.csr_matrix     # (3N, 3N): rot^T systMass-core rot
 
 
 @dataclass
@@ -281,6 +287,87 @@ def build_region_ops(
                 (ii.ravel(), (rows, cols)), shape=(mdof, idof)
             ).tocsr()
 
+        # ---- cross-body couplings (unrotated; rotation applied below)
+        NN_m = 3 * n_nodes[1 - tv]
+        nodes_m = ip.nodes[1 - tv]
+        shape_m = ip.shape[1 - tv]
+        if scalar:
+            # cross mass: w rho_n (N^T n^T)(n N_m)
+            nN_m = shape_m[:, :, None] * nrm[:, None, :]          # (n,4,3)
+            cm = w[:, None, None, None, None] * reg.pena_n * np.einsum(
+                "nak,nbl->nakbl", nN, nN_m
+            )
+            rows = np.broadcast_to(
+                3 * nodes[:, :, None, None, None]
+                + np.arange(3)[None, None, :, None, None],
+                cm.shape,
+            ).ravel()
+            cols = np.broadcast_to(
+                3 * nodes_m[:, None, None, :, None]
+                + np.arange(3)[None, None, None, None, :],
+                cm.shape,
+            ).ravel()
+            cross_mass = sp.coo_matrix(
+                (cm.ravel(), (rows, cols)), shape=(NN, NN_m)
+            ).tocsr()
+            # cross tran: w N_m^T n^T M_e  (3N_mate x m_self)
+            nN_m2 = shape_m[:, :, None] * nrm[:, None, :]
+            ct = w[:, None, None, None] * np.einsum(
+                "naj,nb->najb", nN_m2, shape
+            )
+            rows = np.broadcast_to(
+                3 * nodes_m[:, :, None, None] + np.arange(3)[None, None, :, None],
+                ct.shape,
+            ).ravel()
+            cols = np.broadcast_to(cidx[:, None, None, :], ct.shape).ravel()
+            cross_tran = sp.coo_matrix(
+                (ct.ravel(), (rows, cols)), shape=(NN_m, m)
+            ).tocsr()
+        else:
+            cm = (
+                w[:, None, None, None, None]
+                * shape[:, :, None, None, None]
+                * shape_m[:, None, None, :, None]
+                * TtPT[:, None, :, None, :]
+            )
+            rows = np.broadcast_to(
+                3 * nodes[:, :, None, None, None]
+                + np.arange(3)[None, None, :, None, None],
+                cm.shape,
+            ).ravel()
+            cols = np.broadcast_to(
+                3 * nodes_m[:, None, None, :, None]
+                + np.arange(3)[None, None, None, None, :],
+                cm.shape,
+            ).ravel()
+            cross_mass = sp.coo_matrix(
+                (cm.ravel(), (rows, cols)), shape=(NN, NN_m)
+            ).tocsr()
+            ct = (
+                w[:, None, None, None, None]
+                * shape_m[:, :, None, None, None]
+                * shape[:, None, None, :, None]
+                * TtT[:, None, :, None, :]
+            )
+            rows = np.broadcast_to(
+                3 * nodes_m[:, :, None, None, None]
+                + np.arange(3)[None, None, :, None, None],
+                ct.shape,
+            ).ravel()
+            cols = np.broadcast_to(
+                3 * cidx[:, None, None, :, None]
+                + np.arange(3)[None, None, None, None, :],
+                ct.shape,
+            ).ravel()
+            cross_tran = sp.coo_matrix(
+                (ct.ravel(), (rows, cols)), shape=(NN_m, mdof)
+            ).tocsr()
+        R_self = _rotation_blockdiag(n_nodes[tv], node_rota[tv])
+        R_mate = _rotation_blockdiag(n_nodes[1 - tv], node_rota[1 - tv])
+        self_mass_rot = (R_self.T @ syst_mass @ R_self).tocsr()
+        cross_mass = (R_self.T @ cross_mass @ R_mate).tocsr()
+        cross_tran = (R_mate.T @ cross_tran).tocsr()
+
         sides.append(
             RegionSideOps(
                 cont_nodes=uniq,
@@ -292,6 +379,9 @@ def build_region_ops(
                 inpo_lagr=inpo_lagr,
                 inpo_disp=inpo_disp,
                 inte_inpo=inte_inpo,
+                cross_mass=cross_mass,
+                cross_tran=cross_tran,
+                self_mass_rot=self_mass_rot,
             )
         )
 

@@ -69,6 +69,7 @@ class AdmmProblem(NamedTuple):
     gram_const: jnp.ndarray    # (B,)    ||d0||^2
     groups: tuple[RegionGroup, ...]   # scalar and/or vector groups
     u_mask: jnp.ndarray        # (B,n) valid reduced dof
+    coarse: "CoarseCorrection | None"  # MULTISCALE_1 data (or None)
 
 
 @dataclass
@@ -98,7 +99,10 @@ def _compose(ops, X: sp.csr_matrix, d0: np.ndarray, side: int):
 def build_problem(
     systems: Sequence[ConstrainedSystem],
     regions: Sequence[RegionOps],
+    dole: Sequence[int] | None = None,
 ) -> tuple[AdmmProblem, AdmmMeta]:
+    """Build the device problem.  ``dole``: per-body coarse level for the
+    MULTISCALE_1 correction (doleMcsc, MCONTACT.h:23); None disables it."""
     B = len(systems)
     mg = build_hierarchy(
         [s.cons_stif for s in systems], [s.real_prol for s in systems]
@@ -197,6 +201,15 @@ def build_problem(
             )
         )
 
+    coarse = None
+    if dole is not None:
+        from .multiscale import build_coarse_correction
+
+        m_pads = [g.bp_const.shape[-1] for g in groups]
+        coarse = build_coarse_correction(
+            systems, regions, list(dole), n_pad, group_region_idx, m_pads
+        )
+
     prob = AdmmProblem(
         mg=mg,
         cons_forc=jnp.asarray(cons_forc),
@@ -205,6 +218,7 @@ def build_problem(
         gram_const=jnp.asarray(gram_const),
         groups=tuple(groups),
         u_mask=jnp.asarray(u_mask),
+        coarse=coarse,
     )
     meta = AdmmMeta(
         systems=list(systems),

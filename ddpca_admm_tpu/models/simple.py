@@ -155,6 +155,48 @@ def stacked_boxes_problem(
     return prob, meta, bodies
 
 
+def chain_problem(
+    n_bodies: int = 8,
+    div: int = 2,
+    levels: int = 1,
+    char_fact: float = 25.0,
+) -> tuple[AdmmProblem, AdmmMeta, list[Body]]:
+    """A chain of n stacked boxes (alternating non-matching meshes) tied by
+    perfect interfaces, except the middle joint which is frictionless
+    contact — the canonical multi-chip fixture: one body per device on the
+    ``domain`` mesh axis."""
+    bodies = []
+    for i in range(n_bodies):
+        d = div + (i % 2)  # alternate divisions -> non-matching interfaces
+        m = HexMesh()
+        m.add_box_grid(np.array([0.0, 0.0, float(i)]), np.ones(3) / d, (d, d, d))
+        m.refine_uniform(levels)
+        b = Body(mesh=m)
+        fix_plane(b, 0, 0.0, (0,))
+        fix_plane(b, 1, 0.0, (1,))
+        bodies.append(b)
+    fix_plane(bodies[0], 2, 0.0, (2,))
+    apply_pressure(
+        bodies[-1], plane_predicate(2, float(n_bodies)), np.array([0, 0, -1.0e7])
+    )
+    rho = penalty(char_fact, char_length(bodies))
+    mid = n_bodies // 2
+    regions = []
+    for i in range(n_bodies - 1):
+        z = float(i + 1)
+        regions.append(
+            make_region(
+                bodies, i, i + 1,
+                plane_predicate(2, z), plane_predicate(2, z),
+                lambda x: x[:, :2], (div * 2**levels,) * 2,
+                fric=0.0 if i == mid else -1.0, pena_n=rho,
+            )
+        )
+    systems = assemble_bodies(bodies, regions)
+    prob, meta = build_problem(systems, regions)
+    return prob, meta, bodies
+
+
 def split_box_problem(
     div: int = 2,
     levels: int = 1,

@@ -92,13 +92,13 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
                    mass_maxiter: int = 200):
     """Build the jitted single-iteration function."""
     mg = prob.mg
-    top = mg.levels[-1]
 
     def body_solve(rhs, x0):
         # warm start from the previous ADMM iterate: the solve is still run
         # to 1e-14*||b|| (reference-exact), but increments shrink as ADMM
-        # converges, so late iterations cost only a few V-cycles.
-        res = pcg(top.A.mv, lambda r: vcycle(mg, r), rhs,
+        # converges, so late iterations cost only a few V-cycles.  Matvec in
+        # f64, V-cycle preconditioner in f32 (see solvers/mg.py).
+        res = pcg(mg.A_top.mv, lambda r: vcycle(mg, r), rhs,
                   x0=x0, rtol=inner_rtol, maxiter=inner_maxiter)
         return res.x, res.iters
 
@@ -126,7 +126,9 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
                 for gs, tl in zip(state.groups, co.tranL):
                     gf = gf + tl.mv(gs.lam).sum(axis=(0, 1))
                 gf = gf - co.tranD.mv(u.reshape(-1))
-                sol = coarse_solve(co.chol, gf)
+                # inverse apply + one f64 refinement step
+                sol = co.inv @ gf
+                sol = sol + co.inv @ (gf - co.mat @ sol)
                 du = co.accu.mv(sol).reshape(u.shape)
                 return u + du
 

@@ -39,9 +39,14 @@ from .operators import RegionOps
 
 
 class CoarseCorrection(NamedTuple):
-    """Device-side coarse correction (consumed inside the jitted loop)."""
+    """Device-side coarse correction (consumed inside the jitted loop).
 
-    chol: jnp.ndarray        # (Nc, Nc) lower Cholesky of globCoup_1
+    The solve is an explicit-inverse apply plus one step of f64 iterative
+    refinement (two dense matvecs — TPU-friendly; sequential triangular
+    substitution is latency-bound)."""
+
+    inv: jnp.ndarray         # (Nc, Nc) inverse of globCoup_1
+    mat: jnp.ndarray         # (Nc, Nc) globCoup_1 itself (refinement)
     forc0: jnp.ndarray       # (Nc,) constant part of the coarse rhs
     tranD: Ell               # (Nc, B*n_pad): maps stacked u -> coarse rhs (-)
     accu: Ell                # (B*n_pad, Nc): coarse solution -> stacked du
@@ -91,7 +96,8 @@ def build_coarse_correction(
             G[base[b_self] : base[b_self + 1], base[b_mate] : base[b_mate + 1]] += (
                 -0.5 * (U_self.T @ C @ U_mate).toarray()
             )
-    chol = scipy.linalg.cholesky(G, lower=True)
+    cho = scipy.linalg.cho_factor(G)
+    G_inv = scipy.linalg.cho_solve(cho, np.eye(Nc))
 
     # ---- globTran_D_1 (MCONTACT.h:1868-2055), acting on stacked reduced u
     rows_td = []
@@ -178,7 +184,8 @@ def build_coarse_correction(
     accu = sp.block_diag(accu_blocks, format="csr")  # (B*n_pad, Nc)
 
     return CoarseCorrection(
-        chol=jnp.asarray(chol),
+        inv=jnp.asarray(G_inv),
+        mat=jnp.asarray(G),
         forc0=jnp.asarray(forc0),
         tranD=to_device(ell_from_csr(tranD)),
         accu=to_device(ell_from_csr(accu)),

@@ -117,9 +117,15 @@ class HexMesh:
 
     def rigid_transform(self, rot: np.ndarray, trans: np.ndarray) -> None:
         """RIGI_ROTR (MULTIGRID.h:710-720): rotate+translate all nodes."""
-        self._coords = self._coords @ np.asarray(rot, dtype=np.float64).T + np.asarray(
-            trans, dtype=np.float64
+        self.transform(
+            lambda c: c @ np.asarray(rot, dtype=np.float64).T
+            + np.asarray(trans, dtype=np.float64)
         )
+
+    def transform(self, fn) -> None:
+        """Apply an arbitrary coordinate map to all nodes (COOR_ADJU-style,
+        e.g. the BEAM pre-twist, examples/BEAM.h:89-99)."""
+        self._coords = np.asarray(fn(self._coords), dtype=np.float64)
         self._coord_map = {
             tuple(int(v) for v in row): i
             for i, row in enumerate(coord_keys(self._coords))

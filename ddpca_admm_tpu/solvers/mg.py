@@ -40,8 +40,9 @@ class MgLevel(NamedTuple):
 
 
 class MgHierarchy(NamedTuple):
-    levels: tuple[MgLevel, ...]   # index 0 = coarsest
-    coarse_chol: jnp.ndarray      # (B, n0, n0) lower Cholesky factors (padded I)
+    levels: tuple[MgLevel, ...]   # index 0 = coarsest (precond dtype, f32)
+    coarse_inv: jnp.ndarray       # (B, n0, n0) explicit inverses (precond dtype)
+    A_top: Ell                    # finest-level operator in f64 (Krylov matvec)
 
 
 def estimate_lmax(A: sp.spmatrix, iters: int = 20, seed: int = 0) -> float:
@@ -65,13 +66,21 @@ def estimate_lmax(A: sp.spmatrix, iters: int = 20, seed: int = 0) -> float:
 def build_hierarchy(
     cons_stif: list[list[sp.spmatrix]],
     real_prol: list[list[sp.spmatrix]],
-    dtype=jnp.float64,
+    dtype=jnp.float32,
 ) -> MgHierarchy:
     """Build a batched hierarchy from per-subdomain scipy matrices.
 
     ``cons_stif[b][l]`` level-l constrained stiffness of subdomain b
     (l=0 coarsest); ``real_prol[b][l]`` maps level l -> l+1.  All subdomains
     must have the same number of levels; shapes are padded to the batch max.
+
+    TPU precision design: the V-cycle runs in ``dtype`` (default f32 — native
+    on all TPU generations; it is only a preconditioner, so reduced precision
+    costs a few extra Krylov iterations, not accuracy), while ``A_top`` keeps
+    the finest operator in f64 for true residuals down to the reference's
+    1e-14 tolerances.  The coarse level applies an explicit inverse (one
+    batched matmul) instead of two sequential triangular solves — triangular
+    substitution is latency-bound on TPU.
     """
     B = len(cons_stif)
     L = len(cons_stif[0])
@@ -105,15 +114,16 @@ def build_hierarchy(
             dict(A=A, inv_diag=inv_diag, lmax=lmax, P=P, Pt=Pt, n_pad=n_pad)
         )
 
-    # coarse dense Cholesky factors (host scipy, shipped to device)
+    # coarse dense inverses (host scipy f64 factorization, shipped in dtype)
     n0 = levels[0]["n_pad"]
-    chol = np.zeros((B, n0, n0))
+    inv = np.zeros((B, n0, n0))
     for b in range(B):
         m = cons_stif[b][0].toarray()
         nb = m.shape[0]
         dense = np.eye(n0)
         dense[:nb, :nb] = m
-        chol[b] = scipy.linalg.cholesky(dense, lower=True)
+        cho = scipy.linalg.cho_factor(dense)
+        inv[b] = scipy.linalg.cho_solve(cho, np.eye(n0))
 
     dev_levels = tuple(
         MgLevel(
@@ -125,7 +135,12 @@ def build_hierarchy(
         )
         for lv in levels
     )
-    return MgHierarchy(levels=dev_levels, coarse_chol=jnp.asarray(chol, dtype))
+    A_top = to_device(levels[-1]["A"], jnp.float64)
+    return MgHierarchy(
+        levels=dev_levels,
+        coarse_inv=jnp.asarray(inv, dtype),
+        A_top=A_top,
+    )
 
 
 def chebyshev_smooth(
@@ -159,7 +174,7 @@ def chebyshev_smooth(
 
 
 def coarse_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Batched dense Cholesky solve (B,n0,n0) x (B,n0)."""
+    """Batched dense Cholesky solve (B,n0,n0) x (B,n0) (host-factored)."""
     y = jax.scipy.linalg.solve_triangular(chol, b[..., None], lower=True)
     x = jax.scipy.linalg.solve_triangular(
         jnp.swapaxes(chol, -1, -2), y, lower=False
@@ -169,12 +184,18 @@ def coarse_solve(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def vcycle(mg: MgHierarchy, b: jnp.ndarray, x: jnp.ndarray | None = None) -> jnp.ndarray:
     """One V(1,1) cycle on the finest level (MGPIS::MULT_VCYC semantics with
-    the Chebyshev smoother).  b, x: (B, n_finest)."""
+    the Chebyshev smoother).  b, x: (B, n_finest) in any float dtype; the
+    cycle itself runs in the hierarchy's (f32) dtype and casts back."""
     L = len(mg.levels) - 1
+    in_dtype = b.dtype
+    dtype = mg.levels[-1].A.vals.dtype
 
     def cycle(l: int, bl: jnp.ndarray, xl: jnp.ndarray) -> jnp.ndarray:
         if l == 0:
-            return coarse_solve(mg.coarse_chol, bl)
+            return jnp.einsum(
+                "...ij,...j->...i", mg.coarse_inv, bl,
+                preferred_element_type=dtype,
+            )
         lv = mg.levels[l]
         xl = chebyshev_smooth(lv.A, lv.inv_diag, lv.lmax, bl, xl)
         r = bl - lv.A.mv(xl)
@@ -184,6 +205,9 @@ def vcycle(mg: MgHierarchy, b: jnp.ndarray, x: jnp.ndarray | None = None) -> jnp
         xl = chebyshev_smooth(lv.A, lv.inv_diag, lv.lmax, bl, xl)
         return xl
 
-    if x is None:
-        x = jnp.zeros_like(b)
-    return cycle(L, b, x)
+    # scale into a well-ranged f32 window (residual norms can be ~1e-14*b)
+    scale = jnp.maximum(jnp.abs(b).max(axis=-1, keepdims=True), 1e-300)
+    b_s = (b / scale).astype(dtype)
+    x_s = jnp.zeros_like(b_s) if x is None else (x / scale).astype(dtype)
+    out = cycle(L, b_s, x_s)
+    return out.astype(in_dtype) * scale

@@ -1,0 +1,137 @@
+"""Result-file writers, matching the reference's output contract.
+
+The reference writes per-body/per-region text files consumed by
+Postprocess.m (SURVEY.md section 5): resuNode_/resuElem_ (mesh),
+resuDisp_ (displacements), resuStre_ (recovered stresses + von Mises),
+resuCont_ (contact pressure / friction state at integral points),
+resuInpo_ (integral points), resuMoni.txt (convergence monitors).
+Formats follow MULTIGRID.h:680-708,1288-1307,1411-1431 and
+MCONTACT.h:97-123: whitespace-separated scientific notation columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..fem.elasticity import (
+    elastic_matrix,
+    element_stress_projection,
+    von_mises,
+)
+from ..mesh.hexmesh import HexMesh
+
+
+def _fmt(path: str, arr: np.ndarray, int_cols: bool = False) -> None:
+    arr = np.atleast_2d(arr)
+    with open(path, "w") as f:
+        for row in arr:
+            if int_cols:
+                f.write("".join(f"{int(v):>10d}" for v in row) + "\n")
+            else:
+                f.write("".join(f"{v:>30.20e}" for v in row) + "\n")
+
+
+def write_mesh(outdir: str, mesh: HexMesh, ident) -> None:
+    """OUTPUT_ELEMENT (MULTIGRID.h:680-708)."""
+    os.makedirs(outdir, exist_ok=True)
+    _fmt(os.path.join(outdir, f"resuNode_{ident}.txt"), mesh.coords)
+    leaves = mesh.leaf_elems()
+    _fmt(
+        os.path.join(outdir, f"resuElem_{ident}.txt"),
+        mesh.elem_corn[leaves],
+        int_cols=True,
+    )
+
+
+def write_displacement(
+    outdir: str, full_disp: np.ndarray, ident, node_rota=None
+) -> None:
+    """OUTP_SUB2 (MULTIGRID.h:1288-1307): rotate back nodal frames."""
+    os.makedirs(outdir, exist_ok=True)
+    d = full_disp.reshape(-1, 3).copy()
+    if node_rota:
+        for i, R in node_rota.items():
+            d[i] = R @ d[i]
+    _fmt(os.path.join(outdir, f"resuDisp_{ident}.txt"), d)
+
+
+def stress_recovery(
+    mesh: HexMesh, full_disp: np.ndarray, e_mod: float, nu: float,
+    node_rota=None,
+) -> np.ndarray:
+    """STRESS_RECOVERY (MULTIGRID.h:1316-1433): per-element L2 projection of
+    Gauss stresses to nodes, averaged over elements; hanging nodes also
+    receive averages from their parent entities.  Returns (N,7) with von
+    Mises in the last column."""
+    disp = full_disp.copy()
+    if node_rota:
+        d = disp.reshape(-1, 3)
+        for i, R in node_rota.items():
+            d[i] = R @ d[i]
+        disp = d.reshape(-1)
+    D = elastic_matrix(e_mod, nu)
+    leaves = mesh.leaf_elems()
+    corn = mesh.elem_corn[leaves]                    # (E,8)
+    dofs = (3 * corn[:, :, None] + np.arange(3)).reshape(-1, 24)
+    nodal = element_stress_projection(
+        mesh.coords[corn], disp[dofs], D
+    )                                                # (E,8,6)
+
+    acc = np.zeros((mesh.n_nodes, 6))
+    cnt = np.zeros(mesh.n_nodes)
+    np.add.at(acc, corn.ravel(), nodal.reshape(-1, 6))
+    np.add.at(cnt, corn.ravel(), 1.0)
+    # hanging-node / parent-entity averaging (MULTIGRID.h:1379-1408)
+    if mesh.cono_fino:
+        from ..utils.quadrature import HEX_EDGES, HEX_FACES
+
+        for e_i, e in enumerate(leaves):
+            cn = mesh.elem_corn[e]
+            # corners that are parents of hanging nodes contribute directly
+            for a in range(8):
+                fc = mesh.fino_cono.get(int(cn[a]))
+                if fc is not None:
+                    for p in fc:
+                        acc[p] += nodal[e_i, a]
+                        cnt[p] += 1.0
+            for table in (HEX_EDGES, HEX_FACES):
+                for row in table:
+                    key = tuple(int(v) for v in np.sort(cn[row]))
+                    h = mesh.cono_fino.get(key)
+                    if h is not None:
+                        avg = nodal[e_i, row].mean(axis=0)
+                        acc[h] += avg
+                        cnt[h] += 1.0
+    cnt = np.where(cnt == 0, 1.0, cnt)
+    stre = acc / cnt[:, None]
+    return np.concatenate([stre, von_mises(stre)[:, None]], axis=1)
+
+
+def write_stress(outdir: str, stre7: np.ndarray, ident) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    _fmt(os.path.join(outdir, f"resuStre_{ident}.txt"), stre7)
+
+
+def write_contact(outdir: str, gamma: np.ndarray, basis: np.ndarray,
+                  scalar: bool, ident) -> None:
+    """OUTPUT_PRTR (MCONTACT.h:97-123): contact pressure (+ tangential
+    traction vector and friction state in vector mode)."""
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, f"resuCont_{ident}.txt")
+    if scalar:
+        _fmt(path, gamma[:, None])
+    else:
+        g = gamma.reshape(-1, 3)
+        tang = g[:, 1:2] * basis[:, 1, :] + g[:, 2:3] * basis[:, 2, :]
+        _fmt(path, np.concatenate([g[:, 0:1], tang], axis=1))
+
+
+def write_integral_points(outdir: str, ip, ident) -> None:
+    """OUTPUT_INPO (CSEARCH.h:819-837)."""
+    os.makedirs(outdir, exist_ok=True)
+    arr = np.concatenate(
+        [ip.points[0], ip.points[1], ip.gap[:, None]], axis=1
+    )
+    _fmt(os.path.join(outdir, f"resuInpo_{ident}.txt"), arr)

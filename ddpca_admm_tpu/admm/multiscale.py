@@ -96,8 +96,11 @@ def build_coarse_correction(
             G[base[b_self] : base[b_self + 1], base[b_mate] : base[b_mate + 1]] += (
                 -0.5 * (U_self.T @ C @ U_mate).toarray()
             )
-    cho = scipy.linalg.cho_factor(G)
-    G_inv = scipy.linalg.cho_solve(cho, np.eye(Nc))
+    # LU, not Cholesky: the reference factorizes with LDLT (MCONTACT.h:1858),
+    # and with non-matching coarse interpolations across a curved interface
+    # globCoup_1 can be (slightly) indefinite.
+    lu = scipy.linalg.lu_factor(G)
+    G_inv = scipy.linalg.lu_solve(lu, np.eye(Nc))
 
     # ---- globTran_D_1 (MCONTACT.h:1868-2055), acting on stacked reduced u
     rows_td = []

@@ -61,8 +61,9 @@ def test_mg_pcg_batched_matches_direct():
     for i, s in enumerate(systems):
         b[i, : s.cons_forc.size] = s.cons_forc
     b = jnp.asarray(b)
-    top = mg.levels[-1]
-    res = pcg(top.A.mv, lambda r: vcycle(mg, r), b, maxiter=400)
+    # matvec must use the f64 operator; the f32 hierarchy is only the
+    # preconditioner
+    res = pcg(mg.A_top.mv, lambda r: vcycle(mg, r), b, maxiter=400)
     for i, s in enumerate(systems):
         x_ref = spla.spsolve(s.cons_stif[-1].tocsc(), s.cons_forc)
         x = np.asarray(res.x)[i, : x_ref.size]
@@ -74,10 +75,9 @@ def test_mg_pcg_batched_matches_direct():
 def test_vcycle_contracts():
     m, sysm = small_elasticity(div=2, levels=2)
     mg = build_hierarchy([sysm.cons_stif], [sysm.real_prol])
-    top = mg.levels[-1]
     rng = np.random.default_rng(5)
-    x_true = jnp.asarray(rng.standard_normal((1, top.A.n_rows)))
-    b = top.A.mv(x_true)
+    x_true = jnp.asarray(rng.standard_normal((1, mg.A_top.n_rows)))
+    b = mg.A_top.mv(x_true)
     x = jnp.zeros_like(b)
     errs = []
     for _ in range(6):

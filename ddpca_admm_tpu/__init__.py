@@ -27,14 +27,13 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the ADMM loop is one large jitted program
-# (nested while_loops over the V-cycle); caching makes re-runs start instantly.
-_cache_dir = os.environ.get(
-    "DDPCA_JAX_CACHE", os.path.expanduser("~/.cache/ddpca_admm_tpu_jax")
-)
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: jax's persistent compilation cache deadlocks under this image's
+# runtime (even on the CPU backend) — do not enable it here.  Opt in
+# explicitly via DDPCA_JAX_CACHE at your own risk.
+_cache_dir = os.environ.get("DDPCA_JAX_CACHE")
+if _cache_dir:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"

@@ -33,15 +33,25 @@ class Ell(NamedTuple):
         return self.vals.shape[-2]
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A @ x; x (..., n_cols) broadcast against batch axes."""
-        gathered = jnp.take_along_axis(
-            jnp.broadcast_to(
-                x[..., None, :], x.shape[:-1] + (self.cols.shape[-2], x.shape[-1])
-            ),
-            self.cols,
-            axis=-1,
+        """y = A @ x; x (..., n_cols) with batch axes broadcast against the
+        matrix's batch axes.  Implemented as per-lane gathers (vmapped
+        advanced indexing) — never materializes an (n_rows, n_cols)
+        intermediate."""
+        batch = jnp.broadcast_shapes(self.vals.shape[:-2], x.shape[:-1])
+        n_rows, k = self.vals.shape[-2:]
+        n_cols = x.shape[-1]
+        if not batch:
+            return (self.vals * x[self.cols]).sum(axis=-1)
+        vals = jnp.broadcast_to(self.vals, batch + (n_rows, k))
+        cols = jnp.broadcast_to(self.cols, batch + (n_rows, k))
+        xb = jnp.broadcast_to(x, batch + (n_cols,))
+        flat = int(np.prod(batch))
+        out = jax.vmap(lambda v, c, xx: (v * xx[c]).sum(axis=-1))(
+            vals.reshape(flat, n_rows, k),
+            cols.reshape(flat, n_rows, k),
+            xb.reshape(flat, n_cols),
         )
-        return (self.vals * gathered).sum(axis=-1)
+        return out.reshape(batch + (n_rows,))
 
 
 def ell_from_csr(A: sp.spmatrix, k: int | None = None, n_rows: int | None = None) -> Ell:

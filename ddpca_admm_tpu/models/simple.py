@@ -46,19 +46,22 @@ def plane_predicate(axis: int, value: float, tol: float = 1e-9):
 
 
 def assemble_bodies(
-    bodies: list[Body], regions: list[RegionOps]
+    bodies: list[Body], regions: list[RegionOps], include_penalty: bool = True
 ) -> list[ConstrainedSystem]:
     """Per-body TRANSFER + STIF_MATR + systMass + CONSTRAINT
-    (MCONTACT.h:812-825)."""
+    (MCONTACT.h:812-825).  ``include_penalty=False`` gives the penalty-free
+    stiffness used by the LAGRANGE dual-mortar solver (MCONTACT.h:2850-2860
+    rebuilds without systMass)."""
     systems = []
     for tv, b in enumerate(bodies):
         if not b.mesh.scal_prol:
             b.mesh.transfer()
         A = assemble_stiffness(b.mesh, b.e_mod, b.nu)
-        for r in regions:
-            for s in (0, 1):
-                if r.region.bodies[s] == tv:
-                    A = (A + r.sides[s].syst_mass).tocsr()
+        if include_penalty:
+            for r in regions:
+                for s in (0, 1):
+                    if r.region.bodies[s] == tv:
+                        A = (A + r.sides[s].syst_mass).tocsr()
         systems.append(
             constrain(b.mesh, A, b.cons_dofv, b.exte_forc, b.node_rota)
         )

@@ -115,26 +115,30 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
         rhs = rhs * prob.u_mask
         u, inner_it = body_solve(rhs, state.u)
 
-        # -------------------------- coarse-space correction (MULTISCALE_1,
-        # MCONTACT.h:2575-2624); applied until the oscillation monitor
-        # freezes it (MULT_MAXI semantics)
-        if prob.coarse is not None:
-            co = prob.coarse
+        # ------------------ coarse-space corrections (MULTISCALE variants A
+        # and/or B, MCONTACT.h:2540-2624); applied until the oscillation
+        # monitor freezes them (MULT_MAXI semantics).  Signs are baked into
+        # the stored operators (see CoarseCorrection).
+        if prob.coarse:
+            for co in prob.coarse:   # always a tuple of CoarseCorrection
 
-            def apply_coarse(u):
-                gf = co.forc0
-                for gs, tl in zip(state.groups, co.tranL):
-                    gf = gf + tl.mv(gs.lam).sum(axis=(0, 1))
-                gf = gf - co.tranD.mv(u.reshape(-1))
-                # inverse apply + one f64 refinement step
-                sol = co.inv @ gf
-                sol = sol + co.inv @ (gf - co.mat @ sol)
-                du = co.accu.mv(sol).reshape(u.shape)
-                return u + du
+                def apply_coarse(u, co=co):
+                    gf = co.forc0
+                    for gs, tl in zip(state.groups, co.tranL):
+                        gf = gf + tl.mv(gs.lam).sum(axis=(0, 1))
+                    if co.tranZ is not None:
+                        for gs, tz in zip(state.groups, co.tranZ):
+                            gf = gf + tz.mv(gs.z).sum(axis=(0, 1))
+                    gf = gf + co.tranD.mv(u.reshape(-1))
+                    # inverse apply + one f64 refinement step
+                    sol = co.inv @ gf
+                    sol = sol + co.inv @ (gf - co.mat @ sol)
+                    du = co.accu.mv(sol).reshape(u.shape)
+                    return u + du
 
-            u = jax.lax.cond(
-                state.mult_frozen, lambda v: v, apply_coarse, u
-            )
+                u = jax.lax.cond(
+                    state.mult_frozen, lambda v: v, apply_coarse, u
+                )
 
         new_groups = []
         moni_parts = [  # (value, allowance) pairs for convergence

@@ -41,16 +41,25 @@ from .operators import RegionOps
 class CoarseCorrection(NamedTuple):
     """Device-side coarse correction (consumed inside the jitted loop).
 
+    Covers both reference variants with sign conventions baked into the
+    stored operators so the loop always *adds* contributions:
+      rhs = forc0 + sum tranL.mv(lam) + sum tranZ.mv(z) + tranD.mv(u)
+      du  = accu @ (globCoup^{-1} rhs)
+    MULTISCALE_1 ("B", interface-eliminated): tranZ is None, forc0 constant;
+    MULTISCALE  ("A", LATIN macroscopic): extra macroscopic interface
+    unknowns appended to the coarse space, forc0 = 0.
+
     The solve is an explicit-inverse apply plus one step of f64 iterative
     refinement (two dense matvecs — TPU-friendly; sequential triangular
     substitution is latency-bound)."""
 
-    inv: jnp.ndarray         # (Nc, Nc) inverse of globCoup_1
-    mat: jnp.ndarray         # (Nc, Nc) globCoup_1 itself (refinement)
+    inv: jnp.ndarray         # (Nc, Nc) inverse of globCoup
+    mat: jnp.ndarray         # (Nc, Nc) globCoup itself (refinement)
     forc0: jnp.ndarray       # (Nc,) constant part of the coarse rhs
-    tranD: Ell               # (Nc, B*n_pad): maps stacked u -> coarse rhs (-)
+    tranD: Ell               # (Nc, B*n_pad): maps stacked u (sign baked in)
     accu: Ell                # (B*n_pad, Nc): coarse solution -> stacked du
-    tranL: tuple[Ell, ...]   # per region group: (R,2,Nc,k) maps lam (+)
+    tranL: tuple[Ell, ...]   # per region group: (R,2,Nc,k) maps lam
+    tranZ: tuple[Ell, ...] | None   # per group: maps z (None for variant B)
 
 
 def _coarse_restriction(sysm: ConstrainedSystem, dole: int) -> sp.csr_matrix:
@@ -190,7 +199,298 @@ def build_coarse_correction(
         inv=jnp.asarray(G_inv),
         mat=jnp.asarray(G),
         forc0=jnp.asarray(forc0),
+        tranD=to_device(ell_from_csr((-tranD).tocsr())),  # sign baked in
+        accu=to_device(ell_from_csr(accu)),
+        tranL=tuple(tranL_groups),
+        tranZ=None,
+    )
+
+
+def build_coarse_correction_a(
+    systems: Sequence[ConstrainedSystem],
+    regions: Sequence[RegionOps],
+    meshes: Sequence,
+    dole: Sequence[int],
+    n_pad: int,
+    group_region_idx: Sequence[Sequence[int]],
+    m_pads: Sequence[int],
+) -> CoarseCorrection:
+    """MULTISCALE variant A — the LATIN-style macroscopic correction
+    (MCONTACT.h:898-1536): the coarse space is [all bodies' level-dole DOFs;
+    one macroscopic unknown block per region], where the macroscopic basis is
+    the *non-mortar-side* interface trace of the coarse scalar shape
+    functions (ficoCotr, MCONTACT.h:900-965)."""
+    B = len(systems)
+    F = [_coarse_restriction(s, dole[v]) for v, s in enumerate(systems)]
+    nc = [F[v].shape[1] for v in range(B)]
+    base = np.concatenate([[0], np.cumsum(nc)])
+    Nb = int(base[-1])
+    XF = [(systems[v].expand @ F[v]).tocsr() for v in range(B)]
+
+    # ---- ficoCotr per region (side 0): interface trace of coarse scalar
+    # basis, zero columns dropped
+    fico = []
+    n_macro = []
+    for r in regions:
+        b0 = r.region.bodies[0]
+        mesh = meshes[b0]
+        L = mesh.max_level
+        c = dole[b0]
+        S = sp.identity(mesh.n_nodes, format="csr")
+        # un-permute rows: original node -> position ordering
+        perm = sp.csr_matrix(
+            (np.ones(mesh.n_nodes), (np.arange(mesh.n_nodes), mesh.node_pos)),
+            shape=(mesh.n_nodes, mesh.n_nodes),
+        )
+        S = perm
+        for l in range(L, c - 1, -1):
+            S = (S @ mesh.scal_prol[l]).tocsr()
+        rows = r.sides[0].cont_nodes
+        trace = S[rows]                                   # (m, n_c_scal)
+        keep = np.unique(trace.nonzero()[1])
+        trace = trace[:, keep].tocsr()
+        scalar = r.region.mode == "scalar"
+        if scalar:
+            fico.append(trace)
+            n_macro.append(trace.shape[1])
+        else:
+            fico.append(sp.kron(trace, sp.identity(3), format="csr"))
+            n_macro.append(3 * trace.shape[1])
+    macro_base = Nb + np.concatenate([[0], np.cumsum(n_macro)])
+    Nc = int(macro_base[-1])
+
+    # ---- globCoup
+    G = np.zeros((Nc, Nc))
+    for v in range(B):
+        G[base[v] : base[v + 1], base[v] : base[v + 1]] += (
+            F[v].T @ systems[v].cons_stif[-1] @ F[v]
+        ).toarray()
+    disp_unba_red = {}   # (ri, tv) -> coarse x macro matrix
+    for ri, r in enumerate(regions):
+        mb0, mb1 = macro_base[ri], macro_base[ri + 1]
+        for tv in (0, 1):
+            bb = r.region.bodies[tv]
+            # dispUnba = systTran_pena-like coupling against side-0 shapes:
+            # reuse cross/self penalty operators: for tv==0 it is
+            # syst_tran_pena (self side-0 cols); for tv==1 it is the
+            # mate-side coupling with side-0 columns = cross_tran-with-P...
+            # build directly from ip data for exactness:
+            du = _disp_unba(r, tv, meshes)
+            du_red = (XF[bb].T @ du @ fico[ri]).toarray()
+            disp_unba_red[(ri, tv)] = du_red
+            G[base[bb] : base[bb + 1], mb0:mb1] += -du_red
+            G[mb0:mb1, base[bb] : base[bb + 1]] += -du_red.T
+            ub = _unba_matr(r)
+            G[mb0:mb1, mb0:mb1] += (fico[ri].T @ ub @ fico[ri]).toarray()
+    lu = scipy.linalg.lu_factor(G)
+    G_inv = scipy.linalg.lu_solve(lu, np.eye(Nc))
+
+    # ---- globTran (lam), globTran_pena (z), globTran_D (u)
+    tranL_groups, tranZ_groups = [], []
+    for g_i, idx in enumerate(group_region_idx):
+        matsL, matsZ = [], []
+        for ri in idx:
+            r = regions[ri]
+            mb0 = macro_base[ri]
+            for tv in (0, 1):
+                mdof = r.sides[tv].inte_mass.shape[0]
+                tl, tz = _glob_tran(r, tv)
+                TL = sp.lil_matrix((Nc, mdof))
+                TL[mb0 : mb0 + n_macro[ri]] = fico[ri].T @ tl
+                TZ = sp.lil_matrix((Nc, mdof))
+                TZ[mb0 : mb0 + n_macro[ri]] = -(fico[ri].T @ tz)  # minus z
+                matsL.append(TL.tocsr())
+                matsZ.append(TZ.tocsr())
+        R = len(idx)
+
+        def stack(mats):
+            e = stack_ells(mats, n_rows=Nc, n_cols=m_pads[g_i])
+            return Ell(
+                vals=jnp.asarray(e.vals.reshape(R, 2, *e.vals.shape[1:])),
+                cols=jnp.asarray(e.cols.reshape(R, 2, *e.cols.shape[1:])),
+                n_cols=e.n_cols,
+            )
+
+        tranL_groups.append(stack(matsL))
+        tranZ_groups.append(stack(matsZ))
+
+    # tranD: + globTran_D u  (macro rows only), pre-composed with X per body
+    rows_td = sp.lil_matrix((Nc, B * n_pad))
+    for ri, r in enumerate(regions):
+        mb0 = macro_base[ri]
+        for tv in (0, 1):
+            bb = r.region.bodies[tv]
+            td = _glob_tran_d(r, tv, meshes)             # (macro x 3N_full)
+            td_red = (fico[ri].T @ td @ systems[bb].expand).tocsr()
+            td_red.resize((n_macro[ri], n_pad))
+            rows_td[mb0 : mb0 + n_macro[ri],
+                    bb * n_pad : (bb + 1) * n_pad] += td_red
+    tranD = rows_td.tocsr()
+
+    accu_blocks = []
+    for v in range(B):
+        Fv = F[v].tocsr().copy()
+        Fv.resize((n_pad, nc[v]))
+        accu_blocks.append(Fv)
+    accu = sp.hstack(
+        [sp.block_diag(accu_blocks, format="csr"),
+         sp.csr_matrix((B * n_pad, Nc - Nb))],
+        format="csr",
+    )
+
+    return CoarseCorrection(
+        inv=jnp.asarray(G_inv),
+        mat=jnp.asarray(G),
+        forc0=jnp.zeros(Nc),
         tranD=to_device(ell_from_csr(tranD)),
         accu=to_device(ell_from_csr(accu)),
         tranL=tuple(tranL_groups),
+        tranZ=tuple(tranZ_groups),
     )
+
+
+def _ip_cores(r: RegionOps):
+    ip = r.region.ip
+    w = ip.weight
+    scalar = r.region.mode == "scalar"
+    if scalar:
+        P = None
+    else:
+        P = np.diag([r.region.pena_n, r.region.pena_f, r.region.pena_f])
+    return ip, w, scalar, P
+
+
+def _disp_unba(r: RegionOps, tv: int, meshes) -> sp.csr_matrix:
+    """dispUnba (MCONTACT.h:1011-1063 / 1101-1176): body-tv full DOFs x
+    side-0 interface DOFs, penalty-weighted, rotations on the body side."""
+    ip, w, scalar, P = _ip_cores(r)
+    n = ip.n
+    nodes = ip.nodes[tv]
+    shape = ip.shape[tv]
+    shape0 = ip.shape[0]
+    uniq0, inv0 = np.unique(ip.nodes[0].reshape(-1), return_inverse=True)
+    cidx0 = inv0.reshape(-1, 4)
+    NN = 3 * meshes[r.region.bodies[tv]].n_nodes
+    if scalar:
+        nrm = ip.basis[:, 0, :]
+        blk = (
+            (w * r.region.pena_n)[:, None, None, None]
+            * shape[:, :, None, None]
+            * nrm[:, None, :, None]
+            * shape0[:, None, None, :]
+        )                                               # (n,4,3,4)
+        rows = np.broadcast_to(
+            3 * nodes[:, :, None, None] + np.arange(3)[None, None, :, None],
+            blk.shape,
+        ).ravel()
+        cols = np.broadcast_to(cidx0[:, None, None, :], blk.shape).ravel()
+        return sp.coo_matrix(
+            (blk.ravel(), (rows, cols)), shape=(NN, uniq0.size)
+        ).tocsr()
+    T = ip.basis
+    TtPT = np.einsum("nfi,fg,ngj->nij", T, P, T)
+    blk = (
+        w[:, None, None, None, None]
+        * shape[:, :, None, None, None]
+        * shape0[:, None, None, :, None]
+        * TtPT[:, None, :, None, :]
+    )                                                   # (n,4,3,4,3)
+    rows = np.broadcast_to(
+        3 * nodes[:, :, None, None, None]
+        + np.arange(3)[None, None, :, None, None],
+        blk.shape,
+    ).ravel()
+    cols = np.broadcast_to(
+        3 * cidx0[:, None, None, :, None] + np.arange(3)[None, None, None, None, :],
+        blk.shape,
+    ).ravel()
+    return sp.coo_matrix(
+        (blk.ravel(), (rows, cols)), shape=(NN, 3 * uniq0.size)
+    ).tocsr()
+
+
+def _unba_matr(r: RegionOps) -> sp.csr_matrix:
+    """unbaMatr: penalty Gram on the side-0 interface (MCONTACT.h:1049-1066)."""
+    ip, w, scalar, P = _ip_cores(r)
+    shape0 = ip.shape[0]
+    uniq0, inv0 = np.unique(ip.nodes[0].reshape(-1), return_inverse=True)
+    cidx0 = inv0.reshape(-1, 4)
+    if scalar:
+        blk = (w * r.region.pena_n)[:, None, None] * shape0[:, :, None] * shape0[:, None, :]
+        rows = np.broadcast_to(cidx0[:, :, None], blk.shape).ravel()
+        cols = np.broadcast_to(cidx0[:, None, :], blk.shape).ravel()
+        return sp.coo_matrix(
+            (blk.ravel(), (rows, cols)), shape=(uniq0.size, uniq0.size)
+        ).tocsr()
+    T = ip.basis
+    TtPT = np.einsum("nfi,fg,ngj->nij", T, P, T)
+    blk = (
+        w[:, None, None, None, None]
+        * shape0[:, :, None, None, None]
+        * shape0[:, None, None, :, None]
+        * TtPT[:, None, :, None, :]
+    )
+    rows = np.broadcast_to(
+        3 * cidx0[:, :, None, None, None] + np.arange(3)[None, None, :, None, None],
+        blk.shape,
+    ).ravel()
+    cols = np.broadcast_to(
+        3 * cidx0[:, None, None, :, None] + np.arange(3)[None, None, None, None, :],
+        blk.shape,
+    ).ravel()
+    return sp.coo_matrix(
+        (blk.ravel(), (rows, cols)), shape=(3 * uniq0.size, 3 * uniq0.size)
+    ).tocsr()
+
+
+def _glob_tran(r: RegionOps, tv: int) -> tuple[sp.csr_matrix, sp.csr_matrix]:
+    """(globTran, globTran_pena) cores: side-0 interface rows x side-tv
+    interface cols (MCONTACT.h:1249-1396)."""
+    ip, w, scalar, P = _ip_cores(r)
+    shape0 = ip.shape[0]
+    shape = ip.shape[tv]
+    uniq0, inv0 = np.unique(ip.nodes[0].reshape(-1), return_inverse=True)
+    cidx0 = inv0.reshape(-1, 4)
+    uniqT, invT = np.unique(ip.nodes[tv].reshape(-1), return_inverse=True)
+    cidxT = invT.reshape(-1, 4)
+    if scalar:
+        blk = w[:, None, None] * shape0[:, :, None] * shape[:, None, :]
+        rows = np.broadcast_to(cidx0[:, :, None], blk.shape).ravel()
+        cols = np.broadcast_to(cidxT[:, None, :], blk.shape).ravel()
+        M = sp.coo_matrix(
+            (blk.ravel(), (rows, cols)), shape=(uniq0.size, uniqT.size)
+        ).tocsr()
+        return M, (r.region.pena_n * M).tocsr()
+    T = ip.basis
+    TtT = np.einsum("nfi,nfj->nij", T, T)
+    TtPT = np.einsum("nfi,fg,ngj->nij", T, P, T)
+
+    def build(core):
+        blk = (
+            w[:, None, None, None, None]
+            * shape0[:, :, None, None, None]
+            * shape[:, None, None, :, None]
+            * core[:, None, :, None, :]
+        )
+        rows = np.broadcast_to(
+            3 * cidx0[:, :, None, None, None]
+            + np.arange(3)[None, None, :, None, None],
+            blk.shape,
+        ).ravel()
+        cols = np.broadcast_to(
+            3 * cidxT[:, None, None, :, None]
+            + np.arange(3)[None, None, None, None, :],
+            blk.shape,
+        ).ravel()
+        return sp.coo_matrix(
+            (blk.ravel(), (rows, cols)),
+            shape=(3 * uniq0.size, 3 * uniqT.size),
+        ).tocsr()
+
+    return build(TtT), build(TtPT)
+
+
+def _glob_tran_d(r: RegionOps, tv: int, meshes) -> sp.csr_matrix:
+    """globTran_D core: side-0 interface rows x body-tv full DOFs
+    (MCONTACT.h:1400-1532); rotation applied on the body side."""
+    return _disp_unba(r, tv, meshes).T.tocsr()

@@ -69,7 +69,7 @@ class AdmmProblem(NamedTuple):
     gram_const: jnp.ndarray    # (B,)    ||d0||^2
     groups: tuple[RegionGroup, ...]   # scalar and/or vector groups
     u_mask: jnp.ndarray        # (B,n) valid reduced dof
-    coarse: "CoarseCorrection | None"  # MULTISCALE_1 data (or None)
+    coarse: "tuple | None"     # CoarseCorrection tuple (A and/or B), or None
 
 
 @dataclass
@@ -100,9 +100,16 @@ def build_problem(
     systems: Sequence[ConstrainedSystem],
     regions: Sequence[RegionOps],
     dole: Sequence[int] | None = None,
+    musc_sett: int = 2,
+    meshes: Sequence | None = None,
 ) -> tuple[AdmmProblem, AdmmMeta]:
-    """Build the device problem.  ``dole``: per-body coarse level for the
-    MULTISCALE_1 correction (doleMcsc, MCONTACT.h:23); None disables it."""
+    """Build the device problem.
+
+    ``dole``: per-body coarse level for the coarse-space corrections
+    (doleMcsc, MCONTACT.h:23); None disables them.  ``musc_sett`` is the
+    reference's correction bitmask (MCONTACT.h:22): bit0 = MULTISCALE (A,
+    LATIN macroscopic — requires ``meshes``), bit1 = MULTISCALE_1 (B,
+    interface-eliminated)."""
     B = len(systems)
     mg = build_hierarchy(
         [s.cons_stif for s in systems], [s.real_prol for s in systems]
@@ -203,12 +210,28 @@ def build_problem(
 
     coarse = None
     if dole is not None:
-        from .multiscale import build_coarse_correction
+        from .multiscale import (
+            build_coarse_correction,
+            build_coarse_correction_a,
+        )
 
         m_pads = [g.bp_const.shape[-1] for g in groups]
-        coarse = build_coarse_correction(
-            systems, regions, list(dole), n_pad, group_region_idx, m_pads
-        )
+        parts = []
+        if musc_sett & 1:
+            parts.append(
+                build_coarse_correction_a(
+                    systems, regions, meshes or [], list(dole), n_pad,
+                    group_region_idx, m_pads,
+                )
+            )
+        if musc_sett & 2:
+            parts.append(
+                build_coarse_correction(
+                    systems, regions, list(dole), n_pad, group_region_idx,
+                    m_pads,
+                )
+            )
+        coarse = tuple(parts) if parts else None
 
     prob = AdmmProblem(
         mg=mg,

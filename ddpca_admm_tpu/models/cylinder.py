@@ -280,5 +280,10 @@ def build_cylinder_model(cfg: CylinderConfig = CylinderConfig()):
 
     systems = assemble_bodies(bodies, regions)
     dole = [0] * len(systems)
-    prob, meta = build_problem(systems, regions, dole=dole)
+    # reference CYLINDER uses muscSett=(1<<0): the LATIN macroscopic
+    # correction (CYLINDER.h:42)
+    prob, meta = build_problem(
+        systems, regions, dole=dole, musc_sett=1,
+        meshes=[b.mesh for b in bodies],
+    )
     return prob, meta, bodies, cfg

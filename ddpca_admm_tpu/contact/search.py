@@ -154,6 +154,17 @@ def mortar_integrate(
             np.zeros((0, 3, 3)),
             z,
         )
+    # cheap 3-D bounding-sphere prefilter: most bucket candidates don't
+    # overlap; skip the Newton projections + clipping for those entirely
+    mc = mast_corners.mean(axis=1)
+    sc = slav_corners.mean(axis=1)
+    mr = np.linalg.norm(mast_corners - mc[:, None], axis=-1).max(axis=1)
+    sr = np.linalg.norm(slav_corners - sc[:, None], axis=-1).max(axis=1)
+    near = np.linalg.norm(mc - sc, axis=-1) <= 1.05 * (mr + sr)
+    if not near.all():
+        sub = mortar_integrate(mast_corners[near], slav_corners[near])
+        remap = np.nonzero(near)[0]
+        return (remap[sub[0]],) + sub[1:]
     # project slave corners into master natural plane (PROJECT_STM per corner)
     mc_rep = np.repeat(mast_corners, 4, axis=0)           # (P*4,4,3)
     sp_flat = slav_corners.reshape(-1, 3)                 # (P*4,3)

@@ -53,17 +53,22 @@ def _b_matrix_np(dndx: np.ndarray) -> np.ndarray:
 
 
 def element_stiffness(exyz: np.ndarray, D: np.ndarray) -> np.ndarray:
-    """Batched hex8 stiffness: exyz (E,8,3) -> (E,24,24).  NumPy host path."""
-    dN = HEX_QUAD.shape_grad                       # (27,3,8)
-    w = HEX_QUAD.weights                           # (27,)
-    # J_g = dN_g @ exyz  -> (E,27,3,3)
-    J = np.einsum("gdi,eic->egdc", dN, exyz, optimize=True)
-    detJ = np.linalg.det(J)                        # (E,27)
-    Jinv = np.linalg.inv(J)                        # (E,27,3,3)
-    dndx = np.einsum("egdc,gci->egdi", Jinv, dN, optimize=True)  # (E,27,3,8)
-    B = _b_matrix_np(dndx)                         # (E,27,6,24)
-    DB = np.einsum("st,egtq->egsq", D, B, optimize=True)
-    K = np.einsum("egsp,egsq,eg,g->epq", B, DB, detJ, w, optimize=True)
+    """Batched hex8 stiffness: exyz (E,8,3) -> (E,24,24).  NumPy host path.
+
+    Structured as a loop over Gauss points with batched matmuls (BLAS) —
+    much faster than one mega-einsum for large element batches."""
+    exyz = np.asarray(exyz, dtype=np.float64)
+    E = exyz.shape[0]
+    K = np.zeros((E, 24, 24))
+    for g in range(HEX_QUAD.n_gp):
+        dN = HEX_QUAD.shape_grad[g]                 # (3,8)
+        w = HEX_QUAD.weights[g]
+        J = np.einsum("di,eic->edc", dN, exyz)      # (E,3,3)
+        detJ = np.linalg.det(J)
+        dndx = np.linalg.solve(J, np.broadcast_to(dN, (E, 3, 8)))  # (E,3,8)
+        B = _b_matrix_np(dndx)                      # (E,6,24)
+        DB = np.matmul(D, B)                        # (E,6,24)
+        K += (w * detJ)[:, None, None] * np.matmul(B.transpose(0, 2, 1), DB)
     return K
 
 

@@ -254,26 +254,29 @@ def build_cylinder_model(cfg: CylinderConfig = CylinderConfig()):
 
         return pred
 
-    # contact: lower-left vs upper-left, lower-right vs upper-right
-    n_bx = max(4, cfg.divi[1] // 2 * (1 << max(cfg.glob_inho + cfg.glob_homo - 1, 0)))
+    # contact pairs cross the mirror (reference contBody {0,5}/{4,1},
+    # CYLINDER.h:513-518): the 'lower' placement flips x, so lower-left
+    # covers x>=0 and pairs with upper-right (also x>=0), and vice versa
     n_bz = max(2, cfg.divi[3] * (1 << max(cfg.glob_homo + cfg.loca_leve - 1, 0)))
-    for s in range(2):
+    for mast, slav in ((0, 3), (1, 2)):
         regions.append(
             make_region(
-                bodies, 0 + s, 2 + s,
-                band_pred(arcs[0 + s]), band_pred(arcs[2 + s]),
+                bodies, mast, slav,
+                band_pred(arcs[mast]), band_pred(arcs[slav]),
                 lambda c: c[:, 0:3:2], (8, n_bz),
                 fric=0.0, pena_n=rho,
             )
         )
-    # left-right ties at x=0 (CYLINDER.h:540-551)
+    # left-right ties at x=0 (CYLINDER.h:540-551); fine buckets keep the
+    # candidate pair count near-linear (matching meshes)
+    n_by = max(8, 1 << (cfg.glob_inho + cfg.glob_homo + 2))
     for pair in ((0, 1), (2, 3)):
         regions.append(
             make_region(
                 bodies, pair[0], pair[1],
                 lambda c: np.abs(c[..., 0]) < TOL,
                 lambda c: np.abs(c[..., 0]) < TOL,
-                lambda c: c[:, 1:3], (8, 4),
+                lambda c: c[:, 1:3], (n_by, max(4, n_bz // 2)),
                 fric=-1.0, pena_n=rho,
             )
         )

@@ -122,6 +122,8 @@ def stacked_boxes_problem(
     levels: int = 1,
     pressure: float = -1.0e7,
     char_fact: float = 25.0,
+    fric: float = 0.0,
+    shear: float = 0.0,
 ) -> tuple[AdmmProblem, AdmmMeta, list[Body]]:
     """Two stacked unit-ish boxes, frictionless contact at z=1: the two-body
     contact patch test (BLOCK's physics, minimal geometry).
@@ -138,11 +140,25 @@ def stacked_boxes_problem(
     top.refine_uniform(levels)
     bodies = [Body(mesh=bot), Body(mesh=top)]
 
-    for b in bodies:
-        fix_plane(b, 0, 0.0, (0,))
-        fix_plane(b, 1, 0.0, (1,))
-    fix_plane(bodies[0], 2, 0.0, (2,))
-    apply_pressure(bodies[1], plane_predicate(2, 2.0), np.array([0, 0, pressure]))
+    if fric > 0.0:
+        # frictional fixture: clamp the bottom box; the top box is held only
+        # by contact + friction under combined pressure and shear
+        for i, c in enumerate(bodies[0].mesh.coords):
+            if c[2] < 1e-9:
+                for k in range(3):
+                    bodies[0].cons_dofv[3 * i + k] = 0.0
+        apply_pressure(
+            bodies[1], plane_predicate(2, 2.0),
+            np.array([shear, 0.0, pressure]),
+        )
+    else:
+        for b in bodies:
+            fix_plane(b, 0, 0.0, (0,))
+            fix_plane(b, 1, 0.0, (1,))
+        fix_plane(bodies[0], 2, 0.0, (2,))
+        apply_pressure(
+            bodies[1], plane_predicate(2, 2.0), np.array([0, 0, pressure])
+        )
 
     rho = penalty(char_fact, char_length(bodies))
     regions = [
@@ -150,7 +166,7 @@ def stacked_boxes_problem(
             bodies, 0, 1,
             plane_predicate(2, 1.0), plane_predicate(2, 1.0),
             lambda x: x[:, :2], (div_bot * 2**levels,) * 2,
-            fric=0.0, pena_n=rho,
+            fric=fric, pena_n=rho,
         )
     ]
     systems = assemble_bodies(bodies, regions)

@@ -1,0 +1,174 @@
+"""Command-line driver for the example problems.
+
+Replaces the reference's interactive stdin menus (Test.cpp:33-67 and the
+per-example .cpp drivers) with argparse subcommands.  Each example runs the
+full pipeline (mesh -> search -> ESTABLISH -> ADMM and/or LAGRANGE), writes
+the reference-compatible result files (resuNode_/resuElem_/resuDisp_/
+resuStre_/resuCont_*.txt), and prints a JSON summary line.
+
+Usage:
+  python -m ddpca_admm_tpu.cli block    [--divi 2 --glob-leve 1 --doma 1 ...]
+  python -m ddpca_admm_tpu.cli torsion  [--scale small|full]
+  python -m ddpca_admm_tpu.cli beam     [--scale small|full]
+  python -m ddpca_admm_tpu.cli cylinder [--scale small|full]
+  python -m ddpca_admm_tpu.cli boxes    [--lagrange]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _solve_and_write(prob, meta, bodies, outdir: str, max_iter: int = 3000):
+    import jax
+    import numpy as np
+
+    from .admm.loop import contact_analysis
+    from .utils import io as rio
+
+    t0 = time.time()
+    state = contact_analysis(prob, tuple(meta.group_modes), max_iter=max_iter)
+    jax.block_until_ready(state.u)
+    solve_s = time.time() - t0
+
+    os.makedirs(outdir, exist_ok=True)
+    for b, (body, sysm) in enumerate(zip(bodies, meta.systems)):
+        u = np.asarray(state.u[b])[: sysm.n_dof]
+        full = sysm.full_displacement(u)
+        rio.write_mesh(outdir, body.mesh, b)
+        rio.write_displacement(outdir, full, b, body.node_rota)
+        stre = rio.stress_recovery(
+            body.mesh, full, body.e_mod, body.nu, body.node_rota
+        )
+        rio.write_stress(outdir, stre, b)
+    for g_i, mode in enumerate(meta.group_modes):
+        gs = state.groups[g_i]
+        for slot, ri in enumerate(meta.group_region_idx[g_i]):
+            ip = meta.regions[ri].region.ip
+            ndof = ip.n if mode == "scalar" else 3 * ip.n
+            gamma = np.asarray(gs.gamma[slot])[:ndof]
+            rio.write_contact(outdir, gamma, ip.basis, mode == "scalar", ri)
+            rio.write_integral_points(outdir, ip, ri)
+    return {
+        "iterations": int(state.it),
+        "converged": bool(state.converged),
+        "inner_cg_iterations": int(state.inner_iters),
+        "solve_seconds": round(solve_s, 3),
+        "outdir": outdir,
+    }
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="ddpca_admm_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("block", help="3-block contact patch test (BLOCK)")
+    p.add_argument("--divi", type=int, default=2)
+    p.add_argument("--glob-leve", type=int, default=1)
+    p.add_argument("--doma", type=int, default=1)
+    p.add_argument("--outdir", default="Block")
+
+    p = sub.add_parser("torsion", help="hollow cylinder under torque (TORSION)")
+    p.add_argument("--scale", choices=["small", "full"], default="small")
+    p.add_argument("--outdir", default="Torsion")
+
+    p = sub.add_parser("beam", help="pre-twisted tapered cantilever (BEAM)")
+    p.add_argument("--scale", choices=["small", "full"], default="small")
+    p.add_argument("--outdir", default="Beam")
+
+    p = sub.add_parser("cylinder", help="Hertz contact of cylinders (CYLINDER)")
+    p.add_argument("--scale", choices=["small", "full"], default="small")
+    p.add_argument("--outdir", default="Cylinder")
+
+    p = sub.add_parser("boxes", help="two-box contact demo / LAGRANGE check")
+    p.add_argument("--lagrange", action="store_true")
+    p.add_argument("--outdir", default="Boxes")
+
+    args = ap.parse_args(argv)
+    t0 = time.time()
+
+    if args.cmd == "block":
+        from .admm.problem import build_problem
+        from .models.block import BlockConfig, build_block_model
+
+        cfg = BlockConfig(
+            divi=(args.divi,) * 3,
+            glob_leve=args.glob_leve,
+            doma_numb=(args.doma,) * 3,
+        )
+        model = build_block_model(cfg)
+        prob, meta = build_problem(
+            model.meta.systems, model.regions,
+            dole=[0] * len(model.meta.systems),
+        )
+        summary = _solve_and_write(prob, meta, model.bodies, args.outdir)
+    elif args.cmd == "torsion":
+        from .models.torsion import TorsionConfig, build_torsion_model
+
+        cfg = (
+            TorsionConfig(divi=(1, 8, 2), doma=(1, 4, 2), glob_inho=1,
+                          glob_homo=1)
+            if args.scale == "small" else TorsionConfig()
+        )
+        prob, meta, bodies, cfg = build_torsion_model(cfg)
+        summary = _solve_and_write(prob, meta, bodies, args.outdir)
+        summary["analytic_twist"] = cfg.analytic_twist
+    elif args.cmd == "beam":
+        from .models.beam import BeamConfig, build_beam_model
+
+        cfg = (
+            BeamConfig(divi=(8, 4, 2), doma=(4, 2, 1), glob_leve=1)
+            if args.scale == "small" else BeamConfig()
+        )
+        prob, meta, bodies, cfg = build_beam_model(cfg)
+        summary = _solve_and_write(prob, meta, bodies, args.outdir)
+    elif args.cmd == "cylinder":
+        from .models.cylinder import CylinderConfig, build_cylinder_model
+
+        cfg = (
+            CylinderConfig(glob_inho=2, glob_homo=0, loca_leve=4,
+                           divi=(2, 2, 1, 2), band_widt=8e-4)
+            if args.scale == "small" else CylinderConfig()
+        )
+        prob, meta, bodies, cfg = build_cylinder_model(cfg)
+        summary = _solve_and_write(prob, meta, bodies, args.outdir)
+        a, p_max = cfg.hertz
+        summary["hertz_half_width"] = a
+        summary["hertz_p_max"] = p_max
+    elif args.cmd == "boxes":
+        from .models.simple import stacked_boxes_problem
+
+        prob, meta, bodies = stacked_boxes_problem(levels=0)
+        if args.lagrange:
+            import numpy as np
+
+            from .admm.lagrange import solve_lagrange
+            from .models.simple import assemble_bodies
+            from .utils import io as rio
+
+            systems = assemble_bodies(bodies, meta.regions,
+                                      include_penalty=False)
+            res = solve_lagrange(systems, meta.regions,
+                                 [b.mesh for b in bodies])
+            os.makedirs(args.outdir, exist_ok=True)
+            for b, (body, sysm) in enumerate(zip(bodies, systems)):
+                full = sysm.full_displacement(res.u[b])
+                rio.write_mesh(args.outdir, body.mesh, b)
+                rio.write_displacement(args.outdir, full, b)
+            summary = {
+                "solver": "lagrange",
+                "newton_iterations": res.iters,
+                "outdir": args.outdir,
+            }
+        else:
+            summary = _solve_and_write(prob, meta, bodies, args.outdir)
+
+    summary["total_seconds"] = round(time.time() - t0, 3)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

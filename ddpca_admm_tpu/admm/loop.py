@@ -249,6 +249,14 @@ def init_state(prob: AdmmProblem) -> AdmmState:
     )
 
 
+@partial(jax.jit, static_argnames=("modes",))
+def admm_step(prob: AdmmProblem, state: AdmmState, modes: tuple[str, ...]) -> AdmmState:
+    """One jitted ADMM iteration with ``prob`` as a runtime argument (NOT a
+    closure constant — embedding the operators as HLO constants triggers
+    XLA's slow constant folding and bloats the executable)."""
+    return make_admm_step(prob, modes)(state)
+
+
 @partial(jax.jit, static_argnames=("modes", "max_iter", "inner_maxiter"))
 def contact_analysis(
     prob: AdmmProblem,

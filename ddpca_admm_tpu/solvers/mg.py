@@ -122,8 +122,15 @@ def build_hierarchy(
         nb = m.shape[0]
         dense = np.eye(n0)
         dense[:nb, :nb] = m
-        cho = scipy.linalg.cho_factor(dense)
-        inv[b] = scipy.linalg.cho_solve(cho, np.eye(n0))
+        try:
+            cho = scipy.linalg.cho_factor(dense)
+            inv[b] = scipy.linalg.cho_solve(cho, np.eye(n0))
+        except scipy.linalg.LinAlgError:
+            # semi-definite coarse matrix (weakly constrained body): LU with
+            # a tiny Tikhonov shift keeps the V-cycle a valid preconditioner
+            shift = 1e-12 * np.abs(np.diag(dense)).max()
+            lu = scipy.linalg.lu_factor(dense + shift * np.eye(n0))
+            inv[b] = scipy.linalg.lu_solve(lu, np.eye(n0))
 
     dev_levels = tuple(
         MgLevel(

@@ -102,6 +102,7 @@ def build_problem(
     dole: Sequence[int] | None = None,
     musc_sett: int = 2,
     meshes: Sequence | None = None,
+    precond_dtype=None,
 ) -> tuple[AdmmProblem, AdmmMeta]:
     """Build the device problem.
 
@@ -111,8 +112,11 @@ def build_problem(
     LATIN macroscopic — requires ``meshes``), bit1 = MULTISCALE_1 (B,
     interface-eliminated)."""
     B = len(systems)
+    import jax.numpy as _jnp
+
     mg = build_hierarchy(
-        [s.cons_stif for s in systems], [s.real_prol for s in systems]
+        [s.cons_stif for s in systems], [s.real_prol for s in systems],
+        dtype=precond_dtype or _jnp.float32,
     )
     n_pad = mg.levels[-1].A.n_rows
     cons_forc = np.zeros((B, n_pad))

@@ -272,5 +272,9 @@ def build_dehw_model(cfg: DehwConfig = DehwConfig()):
         )
     ]
     systems = assemble_bodies(bodies, regions)
-    prob, meta = build_problem(systems, regions)
+    # the penalty factor is extreme at tooth scale (rho ~ 5e14): an f32
+    # V-cycle preconditioner floors too early, so DEHW keeps it in f64
+    import jax.numpy as jnp
+
+    prob, meta = build_problem(systems, regions, precond_dtype=jnp.float64)
     return prob, meta, bodies, cfg

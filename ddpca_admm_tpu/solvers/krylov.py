@@ -47,16 +47,24 @@ def pcg(
     r0 = b - matvec(x0)
     d0 = precond(r0)
     delta0 = _dot(r0, d0)
+    res0 = jnp.sqrt(_dot(r0, r0))
+    stall0 = jnp.zeros(b.shape[:-1], jnp.int32)
+
+    # stagnation exit (reference MGPIS stagnation monitors, MGPIS.h:141-155):
+    # a lane that hasn't improved its best residual by >0.1% for STALL_LIMIT
+    # iterations is frozen (preconditioner floor reached).
+    STALL_LIMIT = 25
+
+    def lane_active(r, best, stall):
+        return (jnp.sqrt(_dot(r, r)) > tol) & (stall < STALL_LIMIT)
 
     def cond(state):
-        x, r, d, delta, it = state
-        return jnp.logical_and(
-            it < maxiter, jnp.any(jnp.sqrt(_dot(r, r)) > tol)
-        )
+        x, r, d, delta, best, stall, it = state
+        return jnp.logical_and(it < maxiter, jnp.any(lane_active(r, best, stall)))
 
     def body(state):
-        x, r, d, delta, it = state
-        active = (jnp.sqrt(_dot(r, r)) > tol)[..., None]
+        x, r, d, delta, best, stall, it = state
+        active = lane_active(r, best, stall)[..., None]
         q = matvec(d)
         dq = _dot(d, q)
         alpha = jnp.where(dq != 0.0, delta / jnp.where(dq == 0.0, 1.0, dq), 0.0)
@@ -68,10 +76,14 @@ def pcg(
             delta != 0.0, delta_new / jnp.where(delta == 0.0, 1.0, delta), 0.0
         )
         d = jnp.where(active, s + beta[..., None] * d, d)
-        return x, r_new, d, delta_new, it + 1
+        rn = jnp.sqrt(_dot(r_new, r_new))
+        improved = rn < 0.999 * best
+        best = jnp.minimum(best, rn)
+        stall = jnp.where(improved, 0, stall + 1)
+        return x, r_new, d, delta_new, best, stall, it + 1
 
-    x, r, d, delta, it = jax.lax.while_loop(
-        cond, body, (x0, r0, d0, delta0, jnp.zeros((), jnp.int32))
+    x, r, d, delta, best, stall, it = jax.lax.while_loop(
+        cond, body, (x0, r0, d0, delta0, res0, stall0, jnp.zeros((), jnp.int32))
     )
     return CgResult(x=x, iters=it, res_norm=jnp.sqrt(_dot(r, r)))
 

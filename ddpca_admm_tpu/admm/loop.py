@@ -257,6 +257,28 @@ def admm_step(prob: AdmmProblem, state: AdmmState, modes: tuple[str, ...]) -> Ad
     return make_admm_step(prob, modes)(state)
 
 
+def contact_analysis_stepwise(
+    prob: AdmmProblem,
+    modes: tuple[str, ...],
+    max_iter: int = ADMM_MAX_ITER,
+    callback=None,
+) -> AdmmState:
+    """Host-driven variant of :func:`contact_analysis`: a Python loop around
+    the jitted single iteration, checking convergence on host (the
+    reference's own loop structure, MCONTACT.h:2504-2712).  Slightly more
+    dispatch latency per iteration, but compiles faster, supports
+    per-iteration callbacks (monitor output), and sidesteps outer-while
+    compile pathologies on some backends."""
+    state = init_state(prob)
+    for it in range(max_iter):
+        state = admm_step(prob, state, modes)
+        if callback is not None:
+            callback(state)
+        if (it % 10 == 9 or it < 3) and bool(state.converged):
+            break
+    return state
+
+
 @partial(jax.jit, static_argnames=("modes", "max_iter", "inner_maxiter"))
 def contact_analysis(
     prob: AdmmProblem,

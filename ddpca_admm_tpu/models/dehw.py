@@ -44,6 +44,7 @@ class DehwConfig:
     adap_rounds: int = 2    # ADAPTIVE_REFINE rounds
     dist_crit: tuple = (65.0e-6, 45.0e-6, 25.0e-6)   # DEHW.h:2229-2234
     fric: float = 0.2
+    tape_coef: float = 0.025   # tangential/normal penalty ratio (DEHW.cpp:123-153)
     char_fact: float = 25.0
     e_worm: float = 210.0e9
     e_wheel: float = 110.0e9                          # DEHW.h:2248
@@ -267,7 +268,7 @@ def build_dehw_model(cfg: DehwConfig = DehwConfig()):
             worm_surf.contains, whee_surf.contains,
             lambda c: cart_curv(c),
             (max(8, n_u_m), max(4, n_v_m)),
-            fric=cfg.fric, pena_n=rho, pena_f=rho,
+            fric=cfg.fric, pena_n=rho, pena_f=cfg.tape_coef * rho,
             max_dist=3.0 * cfg.dist_crit[0],
         )
     ]

@@ -16,7 +16,12 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..utils.constants import BICGSTAB_RTOL, CG_RTOL
+from ..utils.constants import (
+    BICGSTAB_RTOL,
+    CG_RTOL,
+    GMRES_RESTART,
+    GMRES_RTOL,
+)
 
 
 def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -143,6 +148,86 @@ def bicgstab(
 
 def _nz(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x == 0.0, 1.0, x)
+
+
+def gmres(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    precond: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    rtol: float = GMRES_RTOL,
+    restart: int = GMRES_RESTART,
+    max_restarts: int = 200,
+) -> CgResult:
+    """Left-preconditioned restarted GMRES(restart) (MGPIS::GMRES_SOLV,
+    MGPIS.h:227-348: restart 10, tol 1e-12*||b||), batched over leading axes.
+
+    Each restart cycle runs a fixed-size Arnoldi factorization (static shapes
+    for XLA) and solves the small least-squares problem with a dense QR on
+    device; outer restarts iterate in a while_loop until every batch lane
+    meets its tolerance."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    tol = rtol * jnp.sqrt(_dot(b, b))
+    batch = b.shape[:-1]
+    n = b.shape[-1]
+
+    def cycle(x):
+        r = b - matvec(x)
+        z = precond(r)
+        beta = jnp.sqrt(_dot(z, z))
+        v0 = z / _nz(beta)[..., None]
+        V = jnp.zeros(batch + (restart + 1, n), b.dtype)
+        V = V.at[..., 0, :].set(v0)
+        H = jnp.zeros(batch + (restart + 1, restart), b.dtype)
+
+        def arnoldi(carry, j):
+            V, H = carry
+            w = precond(matvec(V[..., j, :]))
+            # modified Gram-Schmidt against all columns (masked j+1..)
+            def mgs(w_h, i):
+                w, hcol = w_h
+                hij = jnp.where(i <= j, (V[..., i, :] * w).sum(-1), 0.0)
+                w = w - hij[..., None] * V[..., i, :]
+                return (w, hcol.at[..., i].set(hij)), None
+
+            (w, hcol), _ = jax.lax.scan(
+                mgs, (w, jnp.zeros(batch + (restart + 1,), b.dtype)),
+                jnp.arange(restart),
+            )
+            hnext = jnp.sqrt(_dot(w, w))
+            hcol = hcol.at[..., j + 1].set(hnext)
+            V = V.at[..., j + 1, :].set(w / _nz(hnext)[..., None])
+            H = H.at[..., :, j].set(hcol)
+            return (V, H), None
+
+        (V, H), _ = jax.lax.scan(arnoldi, (V, H), jnp.arange(restart))
+        # least squares: min || beta e1 - H y ||
+        e1 = jnp.zeros(batch + (restart + 1,), b.dtype)
+        e1 = e1.at[..., 0].set(beta)
+        # batched least squares via normal equations (H is (restart+1) x
+        # restart and well conditioned at these sizes)
+        HtH = jnp.einsum("...ij,...ik->...jk", H, H)
+        Hte = jnp.einsum("...ij,...i->...j", H, e1)
+        HtH = HtH + 1e-30 * jnp.eye(restart, dtype=b.dtype)
+        y = jnp.linalg.solve(HtH, Hte[..., None])[..., 0]
+        dx = jnp.einsum("...jn,...j->...n", V[..., :restart, :], y)
+        return x + dx
+
+    def cond(state):
+        x, it = state
+        r = b - matvec(x)
+        return jnp.logical_and(
+            it < max_restarts, jnp.any(jnp.sqrt(_dot(r, r)) > tol)
+        )
+
+    def body(state):
+        x, it = state
+        return cycle(x), it + 1
+
+    x, it = jax.lax.while_loop(cond, body, (x0, jnp.zeros((), jnp.int32)))
+    r = b - matvec(x)
+    return CgResult(x=x, iters=it, res_norm=jnp.sqrt(_dot(r, r)))
 
 
 def jacobi_preconditioner(diag: jnp.ndarray) -> Callable[[jnp.ndarray], jnp.ndarray]:

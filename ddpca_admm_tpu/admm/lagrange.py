@@ -18,9 +18,16 @@ oracle for the ADMM results:
      residuals with scale 210e9 until no state changes (:3184-3699).
 
 TPU split: all sparse reorganization happens on host (scipy — shapes change
-each active-set iteration); the condensed solve runs as device BiCGSTAB with
-Jacobi preconditioning (reference precType=2; the restricted-GMG
-preconditioner of precType=1 is a follow-up).
+each active-set iteration); the condensed solve runs as device BiCGSTAB.
+``prec_type`` selects the preconditioner, mirroring the reference:
+
+  * 1 — restricted-GMG (MCONTACT.h:3419-3562): the per-body multigrid
+    prolongations are stacked block-diagonally, the finest one row-restricted
+    to the non-condensed DOFs, and the condensed operator Galerkin-coarsened
+    down the hierarchy; one V-cycle on that hierarchy preconditions BiCGSTAB
+    (reference: ``mgpi.BiCGSTAB_SOLV(1, ·)``).
+  * 2 — Jacobi-preconditioned BiCGSTAB (reference: Eigen::BiCGSTAB,
+    MCONTACT.h:3565-3578).
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ import scipy.sparse.linalg as spla
 
 from ..fem.constraints import ConstrainedSystem
 from ..solvers.krylov import bicgstab, jacobi_preconditioner
+from ..solvers.mg import build_hierarchy, vcycle
 from ..sparse.ell import ell_from_csr, to_device
 from .operators import RegionOps
 
@@ -70,6 +78,7 @@ def solve_lagrange(
     fric: list[float] | None = None,
     max_newton: int = 30,
     use_device: bool = True,
+    prec_type: int = 2,
 ) -> LagrangeResult:
     B = len(systems)
     nred = [s.n_dof for s in systems]
@@ -322,10 +331,11 @@ def solve_lagrange(
 
         if use_device and Khat.shape[0] > 500:
             e = to_device(ell_from_csr(Khat))
-            res = bicgstab(
-                e.mv, jacobi_preconditioner(jnp.asarray(Khat.diagonal())),
-                jnp.asarray(Fhat), maxiter=Khat.shape[0],
-            )
+            prec = _restricted_gmg_precond(Khat, systems, base, rest) \
+                if prec_type == 1 else None
+            if prec is None:
+                prec = jacobi_preconditioner(jnp.asarray(Khat.diagonal()))
+            res = bicgstab(e.mv, prec, jnp.asarray(Fhat), maxiter=Khat.shape[0])
             U1 = np.asarray(res.x)
         else:
             U1 = spla.spsolve(Khat.tocsc(), Fhat)
@@ -377,6 +387,42 @@ def solve_lagrange(
         if changes == 0:
             break
     return LagrangeResult(u=u_out, lagr=lagr, status=status, iters=it)
+
+
+def _restricted_gmg_precond(Khat, systems, base, rest):
+    """precType=1 preconditioner (MCONTACT.h:3419-3562): a V-cycle on the
+    condensed operator, using the bodies' own multigrid prolongations
+    stacked block-diagonally with the finest-level rows restricted to the
+    non-condensed DOF set ``rest``.  Coarser levels keep the full coarse
+    bases (the condensed DOFs are a measure-zero interface set; Galerkin
+    coarsening through the restricted top keeps the cycle consistent).
+    Returns None when any body lacks a geometric hierarchy."""
+    depth = min(len(s.real_prol) for s in systems)
+    if depth == 0:
+        return None
+    B = len(systems)
+    prols = []
+    for l in range(depth):
+        # align at the finest level: use each body's last `depth` prols
+        blocks = [systems[v].real_prol[len(systems[v].real_prol) - depth + l]
+                  for v in range(B)]
+        prols.append(sp.block_diag(blocks, format="csr"))
+    # row-restrict the finest prolongation to non-condensed DOFs
+    Nd = int(base[-1])
+    S = sp.csr_matrix(
+        (np.ones(rest.size), (np.arange(rest.size), rest)),
+        shape=(rest.size, Nd),
+    )
+    prols[-1] = (S @ prols[-1]).tocsr()
+    # Galerkin chain down from Khat
+    mats = [Khat.tocsr()]
+    for P in reversed(prols):
+        mats.append((P.T @ mats[-1] @ P).tocsr())
+    mats.reverse()  # coarsest first
+    if mats[0].shape[0] > 3000:
+        return None  # coarse dense inverse would dominate; fall back to Jacobi
+    mg = build_hierarchy([mats], [prols], assume_sym=False)
+    return lambda r: vcycle(mg, r[None])[0]
 
 
 def _block_inverse(T0: sp.spmatrix, status, regions) -> sp.csr_matrix:

@@ -85,6 +85,13 @@ def main(argv=None) -> None:
 
     p = sub.add_parser("boxes", help="two-box contact demo / LAGRANGE check")
     p.add_argument("--lagrange", action="store_true")
+    p.add_argument(
+        "--prec-type", type=int, choices=[1, 2], default=2,
+        help="LAGRANGE preconditioner: 1=restricted-GMG, 2=Jacobi "
+             "(reference precType menu)",
+    )
+    p.add_argument("--levels", type=int, default=0,
+                   help="global refinement levels of the two boxes")
     p.add_argument("--outdir", default="Boxes")
 
     args = ap.parse_args(argv)
@@ -141,7 +148,7 @@ def main(argv=None) -> None:
     elif args.cmd == "boxes":
         from .models.simple import stacked_boxes_problem
 
-        prob, meta, bodies = stacked_boxes_problem(levels=0)
+        prob, meta, bodies = stacked_boxes_problem(levels=args.levels)
         if args.lagrange:
             import numpy as np
 
@@ -152,7 +159,8 @@ def main(argv=None) -> None:
             systems = assemble_bodies(bodies, meta.regions,
                                       include_penalty=False)
             res = solve_lagrange(systems, meta.regions,
-                                 [b.mesh for b in bodies])
+                                 [b.mesh for b in bodies],
+                                 prec_type=args.prec_type)
             os.makedirs(args.outdir, exist_ok=True)
             for b, (body, sysm) in enumerate(zip(bodies, systems)):
                 full = sysm.full_displacement(res.u[b])

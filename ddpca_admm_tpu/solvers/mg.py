@@ -67,6 +67,7 @@ def build_hierarchy(
     cons_stif: list[list[sp.spmatrix]],
     real_prol: list[list[sp.spmatrix]],
     dtype=jnp.float32,
+    assume_sym: bool = True,
 ) -> MgHierarchy:
     """Build a batched hierarchy from per-subdomain scipy matrices.
 
@@ -123,6 +124,8 @@ def build_hierarchy(
         dense = np.eye(n0)
         dense[:nb, :nb] = m
         try:
+            if not assume_sym:
+                raise scipy.linalg.LinAlgError  # go straight to LU
             cho = scipy.linalg.cho_factor(dense)
             inv[b] = scipy.linalg.cho_solve(cho, np.eye(n0))
         except scipy.linalg.LinAlgError:

@@ -35,3 +35,28 @@ def test_lagrange_stacked_boxes_patch():
     # pressure transmits p over the interface; lambda_n = dual-weighted
     lam_n = res.lagr[0][0::3]
     assert (lam_n < 0).all() or (lam_n > 0).all(), "uniform-sign multipliers"
+
+
+def test_lagrange_restricted_gmg_preconditioner():
+    """precType=1 (restricted-GMG BiCGSTAB, MCONTACT.h:3419-3562) must give
+    the same patch-test solution as the Jacobi path on a refined mesh."""
+    from ddpca_admm_tpu.models.simple import assemble_bodies
+
+    prob, meta, bodies = stacked_boxes_problem(div_bot=3, div_top=2, levels=1)
+    systems = assemble_bodies(bodies, meta.regions, include_penalty=False)
+    res = solve_lagrange(
+        systems,
+        meta.regions,
+        [b.mesh for b in bodies],
+        use_device=True,
+        prec_type=1,
+    )
+    E, p = 210.0e9, -1.0e7
+    for b, (body, sysm) in enumerate(zip(bodies, systems)):
+        full = sysm.full_displacement(res.u[b])
+        uz = full[2::3]
+        expect = p * body.mesh.coords[:, 2] / E
+        scale = np.abs(expect).max()
+        assert np.allclose(uz, expect, atol=5e-4 * scale), (
+            f"body {b}: {np.abs(uz - expect).max() / scale}"
+        )

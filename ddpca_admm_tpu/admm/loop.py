@@ -130,9 +130,19 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
                         for gs, tz in zip(state.groups, co.tranZ):
                             gf = gf + tz.mv(gs.z).sum(axis=(0, 1))
                     gf = gf + co.tranD.mv(u.reshape(-1))
-                    # inverse apply + one f64 refinement step
-                    sol = co.inv @ gf
-                    sol = sol + co.inv @ (gf - co.mat @ sol)
+                    if co.mg is not None:
+                        # DOUBLE_M(_1): MG-preconditioned CG on the coarse
+                        # operator's own DD hierarchy (MCONTACT.h:1538-1670)
+                        sol = pcg(
+                            co.mg.A_top.mv,
+                            lambda r: vcycle(co.mg, r),
+                            gf[None],
+                            maxiter=500,
+                        ).x[0]
+                    else:
+                        # inverse apply + one f64 refinement step
+                        sol = co.inv @ gf
+                        sol = sol + co.inv @ (gf - co.mat @ sol)
                     du = co.accu.mv(sol).reshape(u.shape)
                     return u + du
 

@@ -19,9 +19,14 @@ Deviations from the reference (documented):
     Dirichlet selectors included) — identical whenever constrained fine DOFs
     have constrained parents, which holds for the face-aligned constraints of
     every example;
-  * the coarse solve is a padded dense Cholesky on device (the reference uses
-    sparse LDLT below 120k DOF); the DOUBLE_M_1 block-diagonal multigrid
-    fallback for huge coarse spaces is not yet implemented.
+  * the coarse solve below DIRE_MAXI is a padded dense inverse-apply on
+    device (the reference uses sparse LDLT below 120k DOF, MCONTACT.h:1858);
+  * at/above DIRE_MAXI (or when forced via ``coarse_solver="ddmg"``) the
+    DOUBLE_M / DOUBLE_M_1 path (MCONTACT.h:1538-1670, 2303-2341) kicks in:
+    block-diagonal prolongations across subdomains (identity on the
+    macroscopic interface unknowns in variant A) Galerkin-coarsen the global
+    coarse operator into its own multigrid hierarchy, and the jitted loop
+    solves it with MG-preconditioned CG instead of the dense inverse.
 """
 
 from __future__ import annotations
@@ -34,7 +39,9 @@ import scipy.linalg
 import scipy.sparse as sp
 
 from ..fem.constraints import ConstrainedSystem
+from ..solvers.mg import MgHierarchy, build_hierarchy
 from ..sparse.ell import Ell, ell_from_csr, stack_ells, to_device
+from ..utils.constants import DIRE_MAXI
 from .operators import RegionOps
 
 
@@ -51,15 +58,95 @@ class CoarseCorrection(NamedTuple):
 
     The solve is an explicit-inverse apply plus one step of f64 iterative
     refinement (two dense matvecs — TPU-friendly; sequential triangular
-    substitution is latency-bound)."""
+    substitution is latency-bound) — or, when ``mg`` is set (DOUBLE_M /
+    DOUBLE_M_1, coarse spaces >= DIRE_MAXI), an MG-preconditioned CG on the
+    coarse operator's own DD hierarchy."""
 
-    inv: jnp.ndarray         # (Nc, Nc) inverse of globCoup
+    inv: jnp.ndarray         # (Nc, Nc) inverse of globCoup ((1,1) when mg set)
     mat: jnp.ndarray         # (Nc, Nc) globCoup itself (refinement)
     forc0: jnp.ndarray       # (Nc,) constant part of the coarse rhs
     tranD: Ell               # (Nc, B*n_pad): maps stacked u (sign baked in)
     accu: Ell                # (B*n_pad, Nc): coarse solution -> stacked du
     tranL: tuple[Ell, ...]   # per region group: (R,2,Nc,k) maps lam
     tranZ: tuple[Ell, ...] | None   # per group: maps z (None for variant B)
+    mg: MgHierarchy | None = None   # DOUBLE_M(_1) DD hierarchy, or None
+
+
+class _SparseAccum:
+    """COO accumulator for the global coarse operator (kept sparse so the
+    DOUBLE_M path scales past DIRE_MAXI without densifying)."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.parts: list[tuple[int, int, sp.spmatrix]] = []
+
+    def add(self, r0: int, c0: int, m: sp.spmatrix) -> None:
+        self.parts.append((r0, c0, m.tocoo()))
+
+    def tocsr(self) -> sp.csr_matrix:
+        rows = np.concatenate([p[2].row + p[0] for p in self.parts])
+        cols = np.concatenate([p[2].col + p[1] for p in self.parts])
+        vals = np.concatenate([p[2].data for p in self.parts])
+        return sp.coo_matrix((vals, (rows, cols)), shape=(self.n, self.n)).tocsr()
+
+
+def _dd_hierarchy(
+    G: sp.csr_matrix,
+    systems: Sequence[ConstrainedSystem],
+    dole: Sequence[int],
+    n_macro_total: int = 0,
+) -> MgHierarchy | None:
+    """DOUBLE_M / DOUBLE_M_1 (MCONTACT.h:1538-1670, 2303-2341): a multigrid
+    hierarchy for the global coarse operator built from block-diagonal
+    per-subdomain prolongations (each body's own realProl below its coarse
+    level ``dole``), with an identity block appended for the macroscopic
+    interface unknowns of variant A.  Returns None when any body has no
+    levels below its coarse level (dole==0: nothing to coarsen with)."""
+    depth = min(int(d) for d in dole)
+    if depth == 0:
+        return None
+    prols = []
+    for k in range(depth):
+        blocks = [systems[v].real_prol[dole[v] - depth + k]
+                  for v in range(len(systems))]
+        if n_macro_total:
+            blocks.append(sp.identity(n_macro_total, format="csr"))
+        prols.append(sp.block_diag(blocks, format="csr"))
+    mats = [G]
+    for P in reversed(prols):
+        mats.append((P.T @ mats[-1] @ P).tocsr())
+    mats.reverse()
+    return build_hierarchy([mats], [prols], assume_sym=False)
+
+
+def _coarse_solver_parts(
+    G: sp.csr_matrix,
+    systems: Sequence[ConstrainedSystem],
+    dole: Sequence[int],
+    coarse_solver: str,
+    n_macro_total: int = 0,
+):
+    """(inv, mat, mg) for a CoarseCorrection: dense inverse below DIRE_MAXI,
+    DOUBLE_M(_1) MG hierarchy at/above it (reference dispatch,
+    MCONTACT.h:1857-1866 / 1229-1238)."""
+    Nc = G.shape[0]
+    use_ddmg = coarse_solver == "ddmg" or (
+        coarse_solver == "auto" and Nc >= DIRE_MAXI
+    )
+    if use_ddmg:
+        mg = _dd_hierarchy(G, systems, dole, n_macro_total)
+        if mg is not None:
+            one = np.zeros((1, 1))
+            return jnp.asarray(one), jnp.asarray(one), mg
+        # dole==0 everywhere: no hierarchy below the coarse level exists;
+        # fall through to the dense path (only reachable when forced).
+    dense = G.toarray()
+    # LU, not Cholesky: the reference factorizes with LDLT (MCONTACT.h:1858),
+    # and with non-matching coarse interpolations across a curved interface
+    # the coupled operator can be (slightly) indefinite.
+    lu = scipy.linalg.lu_factor(dense)
+    G_inv = scipy.linalg.lu_solve(lu, np.eye(Nc))
+    return jnp.asarray(G_inv), jnp.asarray(dense), None
 
 
 def _coarse_restriction(sysm: ConstrainedSystem, dole: int) -> sp.csr_matrix:
@@ -78,6 +165,7 @@ def build_coarse_correction(
     n_pad: int,
     group_region_idx: Sequence[Sequence[int]],
     m_pads: Sequence[int],
+    coarse_solver: str = "auto",
 ) -> CoarseCorrection:
     B = len(systems)
     F = [_coarse_restriction(s, dole[v]) for v, s in enumerate(systems)]
@@ -86,11 +174,10 @@ def build_coarse_correction(
     Nc = int(base[-1])
     XF = [(systems[v].expand @ F[v]).tocsr() for v in range(B)]  # (3N x nc)
 
-    # ---- globCoup_1 (MCONTACT.h:1674-1856)
-    G = np.zeros((Nc, Nc))
+    # ---- globCoup_1 (MCONTACT.h:1674-1856), sparse accumulation
+    Gacc = _SparseAccum(Nc)
     for v in range(B):
-        A_c = (F[v].T @ systems[v].cons_stif[-1] @ F[v]).toarray()
-        G[base[v] : base[v + 1], base[v] : base[v + 1]] += A_c
+        Gacc.add(base[v], base[v], F[v].T @ systems[v].cons_stif[-1] @ F[v])
     for r in regions:
         for s in (0, 1):
             b_self = r.region.bodies[s]
@@ -99,17 +186,10 @@ def build_coarse_correction(
             U_mate = XF[b_mate]
             S = r.sides[s].self_mass_rot
             C = r.sides[s].cross_mass
-            G[base[b_self] : base[b_self + 1], base[b_self] : base[b_self + 1]] += (
-                -0.5 * (U_self.T @ S @ U_self).toarray()
-            )
-            G[base[b_self] : base[b_self + 1], base[b_mate] : base[b_mate + 1]] += (
-                -0.5 * (U_self.T @ C @ U_mate).toarray()
-            )
-    # LU, not Cholesky: the reference factorizes with LDLT (MCONTACT.h:1858),
-    # and with non-matching coarse interpolations across a curved interface
-    # globCoup_1 can be (slightly) indefinite.
-    lu = scipy.linalg.lu_factor(G)
-    G_inv = scipy.linalg.lu_solve(lu, np.eye(Nc))
+            Gacc.add(base[b_self], base[b_self], -0.5 * (U_self.T @ S @ U_self))
+            Gacc.add(base[b_self], base[b_mate], -0.5 * (U_self.T @ C @ U_mate))
+    G_sp = Gacc.tocsr()
+    inv, mat, mg = _coarse_solver_parts(G_sp, systems, dole, coarse_solver)
 
     # ---- globTran_D_1 (MCONTACT.h:1868-2055), acting on stacked reduced u
     rows_td = []
@@ -196,13 +276,14 @@ def build_coarse_correction(
     accu = sp.block_diag(accu_blocks, format="csr")  # (B*n_pad, Nc)
 
     return CoarseCorrection(
-        inv=jnp.asarray(G_inv),
-        mat=jnp.asarray(G),
+        inv=inv,
+        mat=mat,
         forc0=jnp.asarray(forc0),
         tranD=to_device(ell_from_csr((-tranD).tocsr())),  # sign baked in
         accu=to_device(ell_from_csr(accu)),
         tranL=tuple(tranL_groups),
         tranZ=None,
+        mg=mg,
     )
 
 
@@ -214,6 +295,7 @@ def build_coarse_correction_a(
     n_pad: int,
     group_region_idx: Sequence[Sequence[int]],
     m_pads: Sequence[int],
+    coarse_solver: str = "auto",
 ) -> CoarseCorrection:
     """MULTISCALE variant A — the LATIN-style macroscopic correction
     (MCONTACT.h:898-1536): the coarse space is [all bodies' level-dole DOFs;
@@ -259,31 +341,26 @@ def build_coarse_correction_a(
     macro_base = Nb + np.concatenate([[0], np.cumsum(n_macro)])
     Nc = int(macro_base[-1])
 
-    # ---- globCoup
-    G = np.zeros((Nc, Nc))
+    # ---- globCoup, sparse accumulation
+    Gacc = _SparseAccum(Nc)
     for v in range(B):
-        G[base[v] : base[v + 1], base[v] : base[v + 1]] += (
-            F[v].T @ systems[v].cons_stif[-1] @ F[v]
-        ).toarray()
-    disp_unba_red = {}   # (ri, tv) -> coarse x macro matrix
+        Gacc.add(base[v], base[v], F[v].T @ systems[v].cons_stif[-1] @ F[v])
     for ri, r in enumerate(regions):
-        mb0, mb1 = macro_base[ri], macro_base[ri + 1]
+        mb0 = macro_base[ri]
         for tv in (0, 1):
             bb = r.region.bodies[tv]
-            # dispUnba = systTran_pena-like coupling against side-0 shapes:
-            # reuse cross/self penalty operators: for tv==0 it is
-            # syst_tran_pena (self side-0 cols); for tv==1 it is the
-            # mate-side coupling with side-0 columns = cross_tran-with-P...
-            # build directly from ip data for exactness:
+            # dispUnba = systTran_pena-like coupling against side-0 shapes,
+            # built directly from ip data for exactness:
             du = _disp_unba(r, tv, meshes)
-            du_red = (XF[bb].T @ du @ fico[ri]).toarray()
-            disp_unba_red[(ri, tv)] = du_red
-            G[base[bb] : base[bb + 1], mb0:mb1] += -du_red
-            G[mb0:mb1, base[bb] : base[bb + 1]] += -du_red.T
+            du_red = (XF[bb].T @ du @ fico[ri]).tocsr()
+            Gacc.add(base[bb], mb0, -du_red)
+            Gacc.add(mb0, base[bb], -du_red.T)
             ub = _unba_matr(r)
-            G[mb0:mb1, mb0:mb1] += (fico[ri].T @ ub @ fico[ri]).toarray()
-    lu = scipy.linalg.lu_factor(G)
-    G_inv = scipy.linalg.lu_solve(lu, np.eye(Nc))
+            Gacc.add(mb0, mb0, fico[ri].T @ ub @ fico[ri])
+    G_sp = Gacc.tocsr()
+    inv, mat, mg = _coarse_solver_parts(
+        G_sp, systems, dole, coarse_solver, n_macro_total=Nc - Nb
+    )
 
     # ---- globTran (lam), globTran_pena (z), globTran_D (u)
     tranL_groups, tranZ_groups = [], []
@@ -339,13 +416,14 @@ def build_coarse_correction_a(
     )
 
     return CoarseCorrection(
-        inv=jnp.asarray(G_inv),
-        mat=jnp.asarray(G),
+        inv=inv,
+        mat=mat,
         forc0=jnp.zeros(Nc),
         tranD=to_device(ell_from_csr(tranD)),
         accu=to_device(ell_from_csr(accu)),
         tranL=tuple(tranL_groups),
         tranZ=tuple(tranZ_groups),
+        mg=mg,
     )
 
 

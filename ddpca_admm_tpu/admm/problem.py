@@ -103,6 +103,7 @@ def build_problem(
     musc_sett: int = 2,
     meshes: Sequence | None = None,
     precond_dtype=None,
+    coarse_solver: str = "auto",
 ) -> tuple[AdmmProblem, AdmmMeta]:
     """Build the device problem.
 
@@ -225,14 +226,14 @@ def build_problem(
             parts.append(
                 build_coarse_correction_a(
                     systems, regions, meshes or [], list(dole), n_pad,
-                    group_region_idx, m_pads,
+                    group_region_idx, m_pads, coarse_solver=coarse_solver,
                 )
             )
         if musc_sett & 2:
             parts.append(
                 build_coarse_correction(
                     systems, regions, list(dole), n_pad, group_region_idx,
-                    m_pads,
+                    m_pads, coarse_solver=coarse_solver,
                 )
             )
         coarse = tuple(parts) if parts else None

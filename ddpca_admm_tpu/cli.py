@@ -69,6 +69,11 @@ def main(argv=None) -> None:
     p.add_argument("--divi", type=int, default=2)
     p.add_argument("--glob-leve", type=int, default=1)
     p.add_argument("--doma", type=int, default=1)
+    p.add_argument(
+        "--coarse-solver", choices=["auto", "direct", "ddmg"], default="auto",
+        help="coarse-correction solve: dense inverse or DOUBLE_M DD-multigrid"
+             " (auto switches at 120k coarse DOF, PREP.h DIRE_MAXI)",
+    )
     p.add_argument("--outdir", default="Block")
 
     p = sub.add_parser("torsion", help="hollow cylinder under torque (TORSION)")
@@ -107,9 +112,11 @@ def main(argv=None) -> None:
             doma_numb=(args.doma,) * 3,
         )
         model = build_block_model(cfg)
+        dole_lv = 1 if args.coarse_solver == "ddmg" and args.glob_leve >= 1 else 0
         prob, meta = build_problem(
             model.meta.systems, model.regions,
-            dole=[0] * len(model.meta.systems),
+            dole=[dole_lv] * len(model.meta.systems),
+            coarse_solver=args.coarse_solver,
         )
         summary = _solve_and_write(prob, meta, model.bodies, args.outdir)
     elif args.cmd == "torsion":

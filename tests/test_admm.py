@@ -81,3 +81,50 @@ def test_split_box_matches_monolithic():
             assert np.linalg.norm(du) < 5e-4 * scale, (
                 f"body {b} node {i}: {du}"
             )
+
+
+def test_double_m_coarse_mg_matches_direct():
+    """DOUBLE_M_1 (DD-multigrid coarse solve, MCONTACT.h:2303-2341) must give
+    the same converged solution and comparable iteration counts as the dense
+    direct coarse solve, for both coarse-correction variants."""
+    from ddpca_admm_tpu.admm.problem import build_problem
+    from ddpca_admm_tpu.models.simple import assemble_bodies
+
+    _, _, bodies = stacked_boxes_problem(div_bot=3, div_top=2, levels=1)
+    from ddpca_admm_tpu.models.simple import (
+        char_length,
+        make_region,
+        penalty,
+        plane_predicate,
+    )
+
+    rho = penalty(25.0, char_length(bodies))
+    regions = [
+        make_region(
+            bodies, 0, 1,
+            plane_predicate(2, 1.0), plane_predicate(2, 1.0),
+            lambda x: x[:, :2], (6,) * 2, fric=0.0, pena_n=rho,
+        )
+    ]
+    systems = assemble_bodies(bodies, regions)
+    meshes = [b.mesh for b in bodies]
+    results = {}
+    for solver in ("direct", "ddmg"):
+        for musc in (1, 2):
+            prob, meta = build_problem(
+                systems, regions, dole=[1, 1], musc_sett=musc,
+                meshes=meshes, coarse_solver=solver,
+            )
+            if solver == "ddmg":
+                assert all(co.mg is not None for co in prob.coarse), (
+                    "ddmg hierarchy not built"
+                )
+            st = contact_analysis(prob, tuple(meta.group_modes), max_iter=800)
+            assert bool(st.converged), f"{solver}/musc{musc}: no convergence"
+            results[(solver, musc)] = np.asarray(st.u)
+    for musc in (1, 2):
+        a, b = results[("direct", musc)], results[("ddmg", musc)]
+        ref = np.abs(a).max()
+        assert np.abs(a - b).max() <= 1e-6 * ref, (
+            f"musc{musc}: {np.abs(a - b).max() / ref}"
+        )

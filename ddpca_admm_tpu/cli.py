@@ -74,6 +74,11 @@ def main(argv=None) -> None:
         help="coarse-correction solve: dense inverse or DOUBLE_M DD-multigrid"
              " (auto switches at 120k coarse DOF, PREP.h DIRE_MAXI)",
     )
+    p.add_argument(
+        "--cross-corner", action="store_true",
+        help="BLOCK_1 variant: no guard slabs, subdomain corners on the "
+             "contact interfaces (examples/BLOCK_1.h)",
+    )
     p.add_argument("--outdir", default="Block")
 
     p = sub.add_parser("torsion", help="hollow cylinder under torque (TORSION)")
@@ -110,6 +115,7 @@ def main(argv=None) -> None:
             divi=(args.divi,) * 3,
             glob_leve=args.glob_leve,
             doma_numb=(args.doma,) * 3,
+            guard_slabs=not args.cross_corner,
         )
         model = build_block_model(cfg)
         dole_lv = 1 if args.coarse_solver == "ddmg" and args.glob_leve >= 1 else 0

@@ -51,6 +51,11 @@ class BlockConfig:
     char_fact: float = 25.0
     e_mod: float = 210.0e9
     nu: float = 0.3
+    # False = BLOCK_1 cross-corner variant (examples/BLOCK_1.h): no guard
+    # slabs, subdomain corners meet on the contact interfaces, contact
+    # regions pair top-layer cores of each block with the overlapping
+    # bottom-layer cores of the next.
+    guard_slabs: bool = True
 
 
 @dataclass
@@ -77,10 +82,10 @@ def build_block_model(cfg: BlockConfig = BlockConfig()) -> BlockModel:
     n_core = d0 * d1 * d2
     bodies: list[Body] = []
 
-    # ---- core subdomains (BLOCK.h:195-294)
+    # ---- core subdomains (BLOCK.h:195-294; BLOCK_1.h: slabs absorbed)
     for tb in range(3):
         L = cfg.leng[tb]
-        dz = _slab_thickness(cfg, tb)
+        dz = _slab_thickness(cfg, tb) if cfg.guard_slabs else 0.0
         z_lo = _z_offset(cfg, tb) + dz
         z_hi = _z_offset(cfg, tb) + L - dz
         div = cfg.divi[tb]
@@ -103,20 +108,27 @@ def build_block_model(cfg: BlockConfig = BlockConfig()) -> BlockModel:
                     m.add_box_grid(origin, spac, nd)
                     m.refine_uniform(cfg.glob_leve, pattern=0)
                     b = Body(mesh=m, e_mod=cfg.e_mod, nu=cfg.nu)
-                    # rollers on the block's -x/-y planes, skipping the
-                    # z-extreme (slab-interface) node layers (BLOCK.h:280-291)
+                    # rollers on the block's -x/-y planes; with guard slabs
+                    # the z-extreme (slab-interface) node layers are skipped
+                    # (BLOCK.h:280-291), without them they are kept
                     for i, c in enumerate(m.coords):
-                        if c[2] <= z_lo + 1e-12 or c[2] >= z_hi - 1e-12:
+                        if cfg.guard_slabs and (
+                            c[2] <= z_lo + 1e-12 or c[2] >= z_hi - 1e-12
+                        ):
                             continue
                         if c[0] <= -L / 2 + 1e-12:
                             b.cons_dofv[3 * i + 0] = 0.0
                         if c[1] <= -L / 2 + 1e-12:
                             b.cons_dofv[3 * i + 1] = 0.0
+                    if not cfg.guard_slabs and tb == 0 and g2 == 0:
+                        for i, c in enumerate(m.coords):
+                            if c[2] <= 1e-10:
+                                b.cons_dofv[3 * i + 2] = 0.0
                     bodies.append(b)
 
     # ---- guard slabs (BLOCK.h:295-387): 2 per block, pattern-1 refinement
     slab_base = len(bodies)
-    for tb in range(3):
+    for tb in range(3) if cfg.guard_slabs else ():
         L = cfg.leng[tb]
         dz = _slab_thickness(cfg, tb)
         div = cfg.divi[tb]
@@ -140,30 +152,46 @@ def build_block_model(cfg: BlockConfig = BlockConfig()) -> BlockModel:
             bodies.append(b)
 
     # ---- loads (BLOCK.h:377-384): top slab of block 2 gets full pressure;
-    # top slabs of blocks 0/1 get the uncovered ring
+    # top slabs of blocks 0/1 get the uncovered ring.  Cross-corner variant
+    # (BLOCK_1.h): the same loads land on the top-layer cores directly.
     pres = np.array([0.0, 0.0, cfg.pressure])
-    apply_pressure(
-        bodies[slab_base + 5],
-        plane_predicate(2, _z_offset(cfg, 2) + cfg.leng[2], TOL),
-        pres,
-    )
-    for tb in (0, 1):
-        slab = bodies[slab_base + 2 * tb + 1]
-        z_top = _z_offset(cfg, tb) + cfg.leng[tb]
-        _ring_load(cfg, slab, tb, z_top, pres)
+
+    def core_idx(tb, g0, g1, g2):
+        return tb * n_core + g0 * d1 * d2 + g1 * d2 + g2
+
+    def top_layer(tb):
+        return [
+            bodies[core_idx(tb, g0, g1, d2 - 1)]
+            for g0 in range(d0) for g1 in range(d1)
+        ]
+
+    if cfg.guard_slabs:
+        apply_pressure(
+            bodies[slab_base + 5],
+            plane_predicate(2, _z_offset(cfg, 2) + cfg.leng[2], TOL),
+            pres,
+        )
+        for tb in (0, 1):
+            z_top = _z_offset(cfg, tb) + cfg.leng[tb]
+            _ring_load(cfg, bodies[slab_base + 2 * tb + 1], tb, z_top, pres)
+    else:
+        z2 = _z_offset(cfg, 2) + cfg.leng[2]
+        for b in top_layer(2):
+            apply_pressure(b, plane_predicate(2, z2, TOL), pres)
+        for tb in (0, 1):
+            z_top = _z_offset(cfg, tb) + cfg.leng[tb]
+            for b in top_layer(tb):
+                _ring_load(cfg, b, tb, z_top, pres)
 
     # ---- regions
     ch_len = char_length(bodies)
     rho = penalty(cfg.char_fact, ch_len, 210.0e9)
     regions: list[RegionOps] = []
 
-    def core_idx(tb, g0, g1, g2):
-        return tb * n_core + g0 * d1 * d2 + g1 * d2 + g2
-
     fine = [cfg.divi[tb] * (1 << cfg.glob_leve) for tb in range(3)]
     for tb in range(3):
         L = cfg.leng[tb]
-        dz = _slab_thickness(cfg, tb)
+        dz = _slab_thickness(cfg, tb) if cfg.guard_slabs else 0.0
         z_lo = _z_offset(cfg, tb) + dz
         z_hi = _z_offset(cfg, tb) + L - dz
         bdiv = (
@@ -209,32 +237,70 @@ def build_block_model(cfg: BlockConfig = BlockConfig()) -> BlockModel:
                             )
                         )
         # core <-> slabs
-        for bu in range(2):
-            slab = slab_base + 2 * tb + bu
-            z = z_lo if bu == 0 else z_hi
+        if cfg.guard_slabs:
+            for bu in range(2):
+                slab = slab_base + 2 * tb + bu
+                z = z_lo if bu == 0 else z_hi
+                for g0 in range(d0):
+                    for g1 in range(d1):
+                        g2 = 0 if bu == 0 else d2 - 1
+                        regions.append(
+                            make_region(
+                                bodies, core_idx(tb, g0, g1, g2), slab,
+                                plane_predicate(2, z, TOL),
+                                plane_predicate(2, z, TOL),
+                                lambda c: c[:, 0:2], (bdiv[0], bdiv[1]),
+                                fric=-1.0, pena_n=rho,
+                            )
+                        )
+    if cfg.guard_slabs:
+        # contact between blocks: top slab of tb <-> bottom slab of tb+1
+        for tb in range(2):
+            z = _z_offset(cfg, tb) + cfg.leng[tb]
+            regions.append(
+                make_region(
+                    bodies, slab_base + 2 * tb + 1, slab_base + 2 * (tb + 1),
+                    plane_predicate(2, z, TOL), plane_predicate(2, z, TOL),
+                    lambda c: c[:, 0:2], (fine[tb], fine[tb]),
+                    fric=0.0, pena_n=rho,
+                )
+            )
+    else:
+        # BLOCK_1 cross-corner contact: every top-layer core of block tb
+        # against every bottom-layer core of block tb+1 whose xy footprints
+        # overlap (subdomain corners now sit ON the contact interface)
+        def footprint(tb, g0, g1):
+            L = cfg.leng[tb]
+            return (
+                -L / 2 + g0 * L / d0, -L / 2 + (g0 + 1) * L / d0,
+                -L / 2 + g1 * L / d1, -L / 2 + (g1 + 1) * L / d1,
+            )
+
+        for tb in range(2):
+            z = _z_offset(cfg, tb) + cfg.leng[tb]
             for g0 in range(d0):
                 for g1 in range(d1):
-                    g2 = 0 if bu == 0 else d2 - 1
-                    regions.append(
-                        make_region(
-                            bodies, core_idx(tb, g0, g1, g2), slab,
-                            plane_predicate(2, z, TOL),
-                            plane_predicate(2, z, TOL),
-                            lambda c: c[:, 0:2], (bdiv[0], bdiv[1]),
-                            fric=-1.0, pena_n=rho,
-                        )
-                    )
-    # contact between blocks: top slab of tb <-> bottom slab of tb+1
-    for tb in range(2):
-        z = _z_offset(cfg, tb) + cfg.leng[tb]
-        regions.append(
-            make_region(
-                bodies, slab_base + 2 * tb + 1, slab_base + 2 * (tb + 1),
-                plane_predicate(2, z, TOL), plane_predicate(2, z, TOL),
-                lambda c: c[:, 0:2], (fine[tb], fine[tb]),
-                fric=0.0, pena_n=rho,
-            )
-        )
+                    fa = footprint(tb, g0, g1)
+                    for h0 in range(d0):
+                        for h1 in range(d1):
+                            fb = footprint(tb + 1, h0, h1)
+                            if (
+                                min(fa[1], fb[1]) - max(fa[0], fb[0]) <= TOL
+                                or min(fa[3], fb[3]) - max(fa[2], fb[2]) <= TOL
+                            ):
+                                continue
+                            regions.append(
+                                make_region(
+                                    bodies,
+                                    core_idx(tb, g0, g1, d2 - 1),
+                                    core_idx(tb + 1, h0, h1, 0),
+                                    plane_predicate(2, z, TOL),
+                                    plane_predicate(2, z, TOL),
+                                    lambda c: c[:, 0:2],
+                                    (fine[tb] // d0, fine[tb] // d1),
+                                    fric=0.0, pena_n=rho,
+                                )
+                            )
 
     systems = assemble_bodies(bodies, regions)
     prob, meta = build_problem(systems, regions)

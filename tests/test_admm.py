@@ -128,3 +128,28 @@ def test_double_m_coarse_mg_matches_direct():
         assert np.abs(a - b).max() <= 1e-6 * ref, (
             f"musc{musc}: {np.abs(a - b).max() / ref}"
         )
+
+
+def test_block1_cross_corner_patch():
+    """BLOCK_1 (examples/BLOCK_1.h): no guard slabs — subdomain corners lie
+    on the contact interfaces.  The patch test must still pass."""
+    from ddpca_admm_tpu.admm.problem import build_problem
+    from ddpca_admm_tpu.models.block import BlockConfig, build_block_model
+
+    cfg = BlockConfig(
+        divi=(2, 2, 2), glob_leve=1, doma_numb=(2, 2, 2), guard_slabs=False
+    )
+    model = build_block_model(cfg)
+    assert len(model.bodies) == 24  # 3 blocks x 2^3 cores, no slabs
+    prob, meta = build_problem(
+        model.meta.systems, model.regions, dole=[0] * len(model.bodies)
+    )
+    st = contact_analysis(prob, tuple(meta.group_modes), max_iter=1500)
+    assert bool(st.converged)
+    E, p = 210.0e9, -1.0e7
+    scale = abs(p) * 0.075 / E
+    for b, (body, sysm) in enumerate(zip(model.bodies, meta.systems)):
+        u = np.asarray(st.u[b])[: sysm.n_dof]
+        full = sysm.full_displacement(u)
+        expect = p * body.mesh.coords[:, 2] / E
+        assert np.abs(full[2::3] - expect).max() <= 1e-4 * scale

@@ -22,17 +22,37 @@ import os
 import time
 
 
-def _solve_and_write(prob, meta, bodies, outdir: str, max_iter: int = 3000):
+def _solve_and_write(prob, meta, bodies, outdir: str, max_iter: int = 3000,
+                     moni: bool = False):
     import jax
     import numpy as np
 
-    from .admm.loop import contact_analysis
+    from .admm.loop import contact_analysis, contact_analysis_stepwise
     from .utils import io as rio
 
     t0 = time.time()
-    state = contact_analysis(prob, tuple(meta.group_modes), max_iter=max_iter)
+    if moni:
+        # host-driven loop so every iteration's monitors can be harvested
+        # (the reference writes resuMoni.txt inside the loop, MCONTACT.h:2742)
+        from .utils.constants import ADMM_MONI_CYCLE
+
+        history = []
+
+        def cb(state):
+            it = int(state.it)
+            history.append(np.asarray(state.moni[(it - 1) % ADMM_MONI_CYCLE]))
+
+        state = contact_analysis_stepwise(
+            prob, tuple(meta.group_modes), max_iter=max_iter, callback=cb
+        )
+    else:
+        state = contact_analysis(
+            prob, tuple(meta.group_modes), max_iter=max_iter
+        )
     jax.block_until_ready(state.u)
     solve_s = time.time() - t0
+    if moni:
+        rio.write_moni(outdir, np.array(history))
 
     os.makedirs(outdir, exist_ok=True)
     for b, (body, sysm) in enumerate(zip(bodies, meta.systems)):
@@ -93,6 +113,29 @@ def main(argv=None) -> None:
     p.add_argument("--scale", choices=["small", "full"], default="small")
     p.add_argument("--outdir", default="Cylinder")
 
+    p = sub.add_parser(
+        "dehw", help="double-enveloping hourglass worm drive (DEHW, flagship)"
+    )
+    p.add_argument(
+        "--self-locking", action="store_true",
+        help="self-locking case: mu=0.08, distCrit {55,35,15} um "
+             "(DEHW.cpp menu; DEHW.h:1619,2229-2234)",
+    )
+    p.add_argument(
+        "--tape-coef", type=float, default=0.025,
+        choices=[0.025, 0.25, 2.5, 25.0],
+        help="tangential/normal penalty ratio menu (DEHW.cpp:123-153)",
+    )
+    p.add_argument("--n-u", type=int, default=8)
+    p.add_argument("--n-v", type=int, default=4)
+    p.add_argument("--glob-leve", type=int, default=1)
+    p.add_argument(
+        "--adap-rounds", type=int, default=1,
+        help="ADAPTIVE_REFINE rounds (reference runs 3, DEHW.h:2229; "
+             "default 1 keeps the reduced model CPU-tractable)",
+    )
+    p.add_argument("--outdir", default="Dehw")
+
     p = sub.add_parser("boxes", help="two-box contact demo / LAGRANGE check")
     p.add_argument("--lagrange", action="store_true")
     p.add_argument(
@@ -104,8 +147,20 @@ def main(argv=None) -> None:
                    help="global refinement levels of the two boxes")
     p.add_argument("--outdir", default="Boxes")
 
+    for sp in sub.choices.values():
+        sp.add_argument(
+            "--moni", action="store_true",
+            help="write resuMoni.txt per-iteration convergence monitors "
+                 "(MCONTACT.h:2742)",
+        )
+        sp.add_argument(
+            "--max-iter", type=int, default=3000,
+            help="ADMM outer-iteration cap (MCONTACT.h:2502 maxiIter)",
+        )
+
     args = ap.parse_args(argv)
     t0 = time.time()
+    moni = getattr(args, "moni", False)
 
     if args.cmd == "block":
         from .admm.problem import build_problem
@@ -124,7 +179,8 @@ def main(argv=None) -> None:
             dole=[dole_lv] * len(model.meta.systems),
             coarse_solver=args.coarse_solver,
         )
-        summary = _solve_and_write(prob, meta, model.bodies, args.outdir)
+        summary = _solve_and_write(prob, meta, model.bodies, args.outdir,
+                                   moni=moni, max_iter=args.max_iter)
     elif args.cmd == "torsion":
         from .models.torsion import TorsionConfig, build_torsion_model
 
@@ -134,7 +190,8 @@ def main(argv=None) -> None:
             if args.scale == "small" else TorsionConfig()
         )
         prob, meta, bodies, cfg = build_torsion_model(cfg)
-        summary = _solve_and_write(prob, meta, bodies, args.outdir)
+        summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
+                                   max_iter=args.max_iter)
         summary["analytic_twist"] = cfg.analytic_twist
     elif args.cmd == "beam":
         from .models.beam import BeamConfig, build_beam_model
@@ -144,7 +201,8 @@ def main(argv=None) -> None:
             if args.scale == "small" else BeamConfig()
         )
         prob, meta, bodies, cfg = build_beam_model(cfg)
-        summary = _solve_and_write(prob, meta, bodies, args.outdir)
+        summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
+                                   max_iter=args.max_iter)
     elif args.cmd == "cylinder":
         from .models.cylinder import CylinderConfig, build_cylinder_model
 
@@ -154,10 +212,29 @@ def main(argv=None) -> None:
             if args.scale == "small" else CylinderConfig()
         )
         prob, meta, bodies, cfg = build_cylinder_model(cfg)
-        summary = _solve_and_write(prob, meta, bodies, args.outdir)
+        summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
+                                   max_iter=args.max_iter)
         a, p_max = cfg.hertz
         summary["hertz_half_width"] = a
         summary["hertz_p_max"] = p_max
+    elif args.cmd == "dehw":
+        from .models.dehw import DehwConfig, build_dehw_model
+
+        cfg = DehwConfig(
+            n_u=args.n_u, n_v=args.n_v, glob_leve=args.glob_leve,
+            adap_rounds=args.adap_rounds,
+            fric=0.08 if args.self_locking else 0.2,
+            dist_crit=(
+                (55.0e-6, 35.0e-6, 15.0e-6) if args.self_locking
+                else (65.0e-6, 45.0e-6, 25.0e-6)
+            ),
+            tape_coef=args.tape_coef,
+        )
+        prob, meta, bodies, cfg = build_dehw_model(cfg)
+        summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
+                                   max_iter=args.max_iter)
+        summary["self_locking"] = args.self_locking
+        summary["tape_coef"] = args.tape_coef
     elif args.cmd == "boxes":
         from .models.simple import stacked_boxes_problem
 
@@ -185,7 +262,8 @@ def main(argv=None) -> None:
                 "outdir": args.outdir,
             }
         else:
-            summary = _solve_and_write(prob, meta, bodies, args.outdir)
+            summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
+                                   max_iter=args.max_iter)
 
     summary["total_seconds"] = round(time.time() - t0, 3)
     print(json.dumps(summary))

@@ -16,7 +16,13 @@ import numpy as np
 
 from ..mesh.curveds import CurvedSurface
 from ..mesh.hexmesh import HexMesh
-from .search import bucket_pairs, face_curvilinear_centroids, mortar_integrate, surface_faces
+from .search import (
+    bucket_pairs,
+    face_curvilinear_boxes,
+    face_curvilinear_centroids,
+    mortar_integrate,
+    surface_faces,
+)
 
 
 def adaptive_refine(
@@ -36,7 +42,10 @@ def adaptive_refine(
 
     mast_uv = face_curvilinear_centroids(mast_mesh, mast_faces, cart_curv)
     slav_uv = face_curvilinear_centroids(slav_mesh, slav_faces, cart_curv)
-    pm, ps = bucket_pairs(mast_uv, slav_uv, buck_divisions)
+    mast_box = face_curvilinear_boxes(mast_mesh, mast_faces, cart_curv)
+    pm, ps = bucket_pairs(
+        mast_uv, slav_uv, buck_divisions, mast_uv_box=mast_box
+    )
     if pm.size == 0:
         return False
 

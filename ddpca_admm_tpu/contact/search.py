@@ -83,13 +83,28 @@ def face_curvilinear_centroids(
     return uv.reshape(-1, 4, 2).mean(axis=1)
 
 
+def face_curvilinear_boxes(
+    mesh: HexMesh, faces: np.ndarray, cart_curv
+) -> np.ndarray:
+    """Per-face (lo,hi) bounds of the 4 corner uv coordinates -> (F,2,2)."""
+    uv = cart_curv(mesh.coords[faces.reshape(-1)]).reshape(-1, 4, 2)
+    return np.stack([uv.min(axis=1), uv.max(axis=1)], axis=1)
+
+
 def bucket_pairs(
     mast_uv: np.ndarray,
     slav_uv: np.ndarray,
     divisions: tuple[int, int],
+    mast_uv_box: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """BUCKET_SORT + 3x3 neighborhood candidate enumeration
-    (CSEARCH.h:205-230, 777-807).  Returns (master_idx, slave_idx) arrays."""
+    (CSEARCH.h:205-230, 777-807).  Returns (master_idx, slave_idx) arrays.
+
+    ``mast_uv_box`` (M,2,2) = per-master-face (lo,hi) uv bounds.  When given,
+    each master is hashed into *every* bucket its box overlaps (not just its
+    centroid bucket) — required when master faces are larger than a bucket
+    (non-matched mesh resolutions, e.g. a coarse worm flank vs a fine wheel
+    flank); the centroid hash then misses the covering master entirely."""
     div = np.asarray(divisions, dtype=np.int64)
     lo = mast_uv.min(axis=0)
     hi = mast_uv.max(axis=0)
@@ -99,9 +114,30 @@ def bucket_pairs(
     hi = hi + inc
     width = (hi - lo) / div
 
-    mb = np.floor((mast_uv - lo) / width).astype(np.int64)
-    mb = np.clip(mb, 0, div - 1)
-    mkey = mb[:, 0] * div[1] + mb[:, 1]
+    if mast_uv_box is not None:
+        b_lo = np.clip(
+            np.floor((mast_uv_box[:, 0] - lo) / width).astype(np.int64),
+            0, div - 1,
+        )
+        b_hi = np.clip(
+            np.floor((mast_uv_box[:, 1] - lo) / width).astype(np.int64),
+            0, div - 1,
+        )
+        span = b_hi - b_lo + 1                       # (M,2)
+        counts_m = span[:, 0] * span[:, 1]
+        midx = np.repeat(np.arange(mast_uv.shape[0]), counts_m)
+        offs = np.arange(counts_m.sum()) - np.repeat(
+            np.cumsum(counts_m) - counts_m, counts_m
+        )
+        bi = b_lo[midx, 0] + offs // span[midx, 1]
+        bj = b_lo[midx, 1] + offs % span[midx, 1]
+        mkey = bi * div[1] + bj
+        master_of_entry = midx
+    else:
+        mb = np.floor((mast_uv - lo) / width).astype(np.int64)
+        mb = np.clip(mb, 0, div - 1)
+        mkey = mb[:, 0] * div[1] + mb[:, 1]
+        master_of_entry = np.arange(mast_uv.shape[0])
     order = np.argsort(mkey, kind="stable")
     sorted_keys = mkey[order]
 
@@ -124,12 +160,18 @@ def bucket_pairs(
             offs = np.arange(total) - np.repeat(
                 np.cumsum(counts) - counts, counts
             )
-            mrep = order[np.repeat(left, counts) + offs]
+            mrep = master_of_entry[order[np.repeat(left, counts) + offs]]
             pairs_m.append(mrep)
             pairs_s.append(srep)
     if not pairs_m:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    return np.concatenate(pairs_m), np.concatenate(pairs_s)
+    pm = np.concatenate(pairs_m)
+    ps = np.concatenate(pairs_s)
+    if mast_uv_box is not None:
+        # box-hashed masters occupy several buckets -> dedup (m,s) pairs
+        uniq = np.unique(pm * np.int64(slav_uv.shape[0]) + ps)
+        pm, ps = uniq // slav_uv.shape[0], uniq % slav_uv.shape[0]
+    return pm, ps
 
 
 def mortar_integrate(
@@ -222,7 +264,8 @@ def region_search(
     is <= max_dist."""
     mast_uv = face_curvilinear_centroids(mast_mesh, mast_faces, cart_curv)
     slav_uv = face_curvilinear_centroids(slav_mesh, slav_faces, cart_curv)
-    pm, ps = bucket_pairs(mast_uv, slav_uv, divisions)
+    mast_box = face_curvilinear_boxes(mast_mesh, mast_faces, cart_curv)
+    pm, ps = bucket_pairs(mast_uv, slav_uv, divisions, mast_uv_box=mast_box)
     if pm.size == 0:
         return IntegralPoints.empty()
     mast_c = mast_mesh.coords[mast_faces[pm]]             # (P,4,3)

@@ -45,6 +45,11 @@ class DehwConfig:
     dist_crit: tuple = (65.0e-6, 45.0e-6, 25.0e-6)   # DEHW.h:2229-2234
     fric: float = 0.2
     tape_coef: float = 0.025   # tangential/normal penalty ratio (DEHW.cpp:123-153)
+    clearance: float = 10.0e-6  # assembly clearance after closing the patch
+    # gap (the reference's full assembly meshes conjugately by construction;
+    # the reduced worm window / wheel zone-1 patch pair is not exactly
+    # conjugate, so the worm is translated along the approach direction
+    # until the surfaces sit `clearance` apart)
     char_fact: float = 25.0
     e_worm: float = 210.0e9
     e_wheel: float = 110.0e9                          # DEHW.h:2248
@@ -104,11 +109,20 @@ def _extrude_to_mesh(surface: np.ndarray, inward: np.ndarray, depth: int,
         ],
         axis=-1,
     )
-    # ensure positive orientation: flip extrusion if needed
+    # ensure positive orientation: flip extrusion if needed (majority sign —
+    # a single-element check can mis-flip on strongly curved patches)
     from ..fem.elasticity import element_volumes
 
-    if element_volumes(m.coords[corn[:1]])[0] < 0:
+    vols = element_volumes(m.coords[corn])
+    if np.median(vols) < 0:
         corn = corn[:, [4, 5, 6, 7, 0, 1, 2, 3]]
+        vols = -vols
+    if (vols <= 0).any():
+        raise ValueError(
+            f"extruded patch is tangled: {(vols <= 0).sum()}/{vols.size} "
+            "inverted cells — reduce extrusion thickness or refine the base "
+            "grid (n_u/n_v)"
+        )
     m.add_elements(corn, level=0)
     return m
 
@@ -170,6 +184,25 @@ def build_dehw_model(cfg: DehwConfig = DehwConfig()):
     thet_h = t1_mid
     worm_pts_g = worm_to_wheel_frame(p, worm_pts, thet_h)
 
+    # close the assembly gap: translate the worm along the mean approach
+    # direction until the flank pair sits cfg.clearance apart (see
+    # DehwConfig.clearance).  Without this the reduced patches float
+    # ~200 um apart and the contact search finds no integral points.
+    from scipy.spatial import cKDTree
+
+    wf = whee_pts.reshape(-1, 3)
+    tree = cKDTree(wf)
+    for _ in range(8):
+        wg = worm_pts_g.reshape(-1, 3)
+        dist, jn = tree.query(wg)
+        i0 = int(np.argmin(dist))
+        gap = dist[i0] - cfg.clearance
+        if abs(gap) <= 0.1 * cfg.clearance:
+            break
+        appr = wf[jn[i0]] - wg[i0]
+        appr /= np.linalg.norm(appr)
+        worm_pts_g = worm_pts_g + gap * appr
+
     # ---- bodies: extrude each flank inward
     # worm: inward = toward the worm axis (in wheel frame the worm axis is
     # the circle |r - wheel_axis| = a_h2... extrude along local surface
@@ -219,11 +252,29 @@ def build_dehw_model(cfg: DehwConfig = DehwConfig()):
         a, r = wheel_local(p, r2)
         return np.stack([a, r], axis=-1)
 
+    from ..contact.search import surface_faces
+
+    def flank_h(mesh, surf, q=50.0):
+        """q-th percentile flank-face diagonal: the face-interpolation sag
+        scale (q=50 over the whole flank; q=5 ~ the refined contact zone)."""
+        faces = surface_faces(mesh, surf.contains)
+        c = mesh.coords[faces]
+        return float(
+            np.percentile(np.linalg.norm(c[:, 2] - c[:, 0], axis=-1), q)
+        )
+
+    # shrinking-criterion AMR rounds (DEHW.h:1505-1571).  The reference's
+    # full assembly reaches its distCrit = {65,45,25} um already at the
+    # globLeve mesh; the reduced patches start coarser, so each round's
+    # criterion is floored at the current face-interpolation sag scale —
+    # the marking still converges to cfg.dist_crit as the mesh refines.
     for rd in range(cfg.adap_rounds):
+        h = max(flank_h(worm_mesh, worm_surf), flank_h(whee_mesh, whee_surf))
+        crit = max(cfg.dist_crit[rd], 0.35 * h)
         adaptive_refine(
             worm_mesh, whee_mesh, worm_surf, whee_surf,
             level=cfg.glob_leve + rd,
-            dist_crit=cfg.dist_crit[rd],
+            dist_crit=crit,
             buck_divisions=(max(8, n_u_m // 2), max(4, n_v_m // 2)),
             cart_curv=cart_curv,
         )
@@ -269,7 +320,12 @@ def build_dehw_model(cfg: DehwConfig = DehwConfig()):
             lambda c: cart_curv(c),
             (max(8, n_u_m), max(4, n_v_m)),
             fric=cfg.fric, pena_n=rho, pena_f=cfg.tape_coef * rho,
-            max_dist=3.0 * cfg.dist_crit[0],
+            max_dist=max(
+                3.0 * cfg.dist_crit[0],
+                2.0 * cfg.clearance
+                + 0.35 * max(flank_h(worm_mesh, worm_surf, q=5.0),
+                             flank_h(whee_mesh, whee_surf, q=5.0)),
+            ),
         )
     ]
     systems = assemble_bodies(bodies, regions)

@@ -135,3 +135,14 @@ def write_integral_points(outdir: str, ip, ident) -> None:
         [ip.points[0], ip.points[1], ip.gap[:, None]], axis=1
     )
     _fmt(os.path.join(outdir, f"resuInpo_{ident}.txt"), arr)
+
+
+def write_moni(outdir: str, history: np.ndarray) -> None:
+    """resuMoni.txt (MCONTACT.h:2502,2742,2835): per-iteration convergence
+    monitors — column 0 is the ADMM iteration, then the squared increment
+    monitors in the loop's order (||du||^2 per body, then ||dz||^2 per
+    region side for every group)."""
+    os.makedirs(outdir, exist_ok=True)
+    history = np.atleast_2d(np.asarray(history))
+    rows = np.column_stack([np.arange(len(history), dtype=float), history])
+    _fmt(os.path.join(outdir, "resuMoni.txt"), rows)

@@ -147,7 +147,15 @@ def main(argv=None) -> None:
                    help="global refinement levels of the two boxes")
     p.add_argument("--outdir", default="Boxes")
 
+    p = sub.add_parser(
+        "postprocess",
+        help="render result files to PNGs (Postprocess.m equivalent)",
+    )
+    p.add_argument("outdir", help="result directory written by a solve run")
+
     for sp in sub.choices.values():
+        if sp.prog.endswith("postprocess"):
+            continue
         sp.add_argument(
             "--moni", action="store_true",
             help="write resuMoni.txt per-iteration convergence monitors "
@@ -160,6 +168,14 @@ def main(argv=None) -> None:
 
     args = ap.parse_args(argv)
     t0 = time.time()
+
+    if args.cmd == "postprocess":
+        from .utils.postprocess import postprocess
+
+        paths = postprocess(args.outdir)
+        print(json.dumps({"plots": paths}))
+        return
+
     moni = getattr(args, "moni", False)
 
     if args.cmd == "block":

@@ -59,3 +59,23 @@ def test_stress_recovery_uniform_field():
     assert np.allclose(stre[:, 2], E * e, rtol=1e-10)
     assert np.abs(stre[:, [0, 1, 3, 4, 5]]).max() < 1e-6 * E * e
     assert np.allclose(stre[:, 6], E * e, rtol=1e-9)  # von Mises
+
+
+def test_postprocess_renders_pngs(tmp_path):
+    """End-to-end Postprocess.m equivalent: run the boxes demo via the CLI
+    writer path, then render all three figures."""
+    import os
+
+    from ddpca_admm_tpu.cli import main
+    from ddpca_admm_tpu.utils.postprocess import postprocess
+
+    out = str(tmp_path / "Boxes")
+    main(["boxes", "--levels", "0", "--outdir", out, "--max-iter", "200",
+          "--moni"])
+    paths = postprocess(out)
+    names = {os.path.basename(p) for p in paths}
+    assert "displacement.png" in names
+    assert "von_mises.png" in names
+    assert "contact_pressure.png" in names
+    for p in paths:
+        assert os.path.getsize(p) > 5000

@@ -111,6 +111,20 @@ def main(argv=None) -> None:
 
     p = sub.add_parser("cylinder", help="Hertz contact of cylinders (CYLINDER)")
     p.add_argument("--scale", choices=["small", "full"], default="small")
+    p.add_argument(
+        "--stack4", action="store_true",
+        help="full 4-section stack x mirror halves (CYLINDER.h:440-551)",
+    )
+    p.add_argument(
+        "--copy-numb", type=int, default=1,
+        help="axial copies replicated by COPY+RIGI_ROTR (CYLINDER.h:41; "
+             "reference: 16)",
+    )
+    p.add_argument(
+        "--cross-corner", action="store_true",
+        help="CYLINDER_1 cross-corner variant (4 full sections per copy, "
+             "fixed penalty 210e9*1000)",
+    )
     p.add_argument("--outdir", default="Cylinder")
 
     p = sub.add_parser(
@@ -227,6 +241,11 @@ def main(argv=None) -> None:
                            divi=(2, 2, 1, 2), band_widt=8e-4)
             if args.scale == "small" else CylinderConfig()
         )
+        if args.scale == "small" and (args.stack4 or args.cross_corner):
+            cfg.loca_leve = 3
+        cfg.stack4 = args.stack4
+        cfg.copy_numb = args.copy_numb
+        cfg.cross_corner = args.cross_corner
         prob, meta, bodies, cfg = build_cylinder_model(cfg)
         summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
                                    max_iter=args.max_iter)

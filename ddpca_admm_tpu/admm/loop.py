@@ -88,10 +88,19 @@ def _project_gamma(g: RegionGroup, gamma: jnp.ndarray, mode: str) -> jnp.ndarray
 
 
 def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
-                   inner_maxiter: int = 500, inner_rtol: float = CG_RTOL,
+                   inner_maxiter: int = 500, inner_rtol: float | None = None,
                    mass_maxiter: int = 200):
     """Build the jitted single-iteration function."""
+    from ..utils.precision import floor_crit, floor_rtol
+
     mg = prob.mg
+    dtype = prob.cons_forc.dtype
+    tiny = float(jnp.finfo(dtype).tiny)
+    crit_disp = floor_crit(ADMM_CRIT_DISP, dtype)
+    if inner_rtol is None:
+        # reference tolerance (1e-14*||b||, MGPIS.h:175), floored at the
+        # solve dtype's achievable residual (utils/precision.py policy)
+        inner_rtol = floor_rtol(CG_RTOL, dtype)
 
     def body_solve(rhs, x0):
         # warm start from the previous ADMM iterate: the solve is still run
@@ -151,14 +160,18 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
                 )
 
         new_groups = []
-        moni_parts = [  # (value, allowance) pairs for convergence
-        ]
-        # body monitors: full-space ||du||^2 vs ||u||^2 via Gram
+        # body monitors: full-space ||du||^2 vs ||u||^2 via Gram, computed on
+        # max-normalized vectors so squared norms stay in f32 range (scale
+        # cancels in the ratio; see utils/precision.py)
         du = u - state.u
-        G_du = prob.gram.mv(du)
-        du2 = (du * G_du).sum(-1)
-        G_u = prob.gram.mv(u)
-        u2 = (u * G_u).sum(-1) + 2.0 * (prob.gram_lin * u).sum(-1) + prob.gram_const
+        s_u = jnp.maximum(jnp.abs(u).max(-1, keepdims=True), tiny)
+        dus, us = du / s_u, u / s_u
+        du2 = (dus * prob.gram.mv(dus)).sum(-1)
+        u2 = (
+            (us * prob.gram.mv(us)).sum(-1)
+            + 2.0 * (prob.gram_lin * us).sum(-1) / s_u[..., 0]
+            + prob.gram_const / s_u[..., 0] ** 2
+        )
         moni_vals = [du2]
         moni_allow = [u2]
 
@@ -198,17 +211,23 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
             lam = gs.lam + dlam
             new_groups.append(GroupState(z=z, lam=lam, gamma=gamma))
             # ---------------------------------------------------- monitors
-            dz2 = ((z - gs.z) ** 2).sum(-1)                   # (R,2)
-            z2 = (z**2).sum(-1)
+            s_z = jnp.maximum(jnp.abs(z).max(-1, keepdims=True), tiny)
+            dz2 = (((z - gs.z) / s_z) ** 2).sum(-1)           # (R,2)
+            z2 = ((z / s_z) ** 2).sum(-1)
             moni_vals.append(dz2.reshape(-1))
             moni_allow.append(z2.reshape(-1))
 
         vals = jnp.concatenate(moni_vals)
         allow = jnp.concatenate(moni_allow)
-        moni = state.moni.at[state.it % ADMM_MONI_CYCLE].set(vals)
+        # the monitored quantity is the scale-invariant ratio (reference
+        # semantics ||d.||^2 <= crit*||.||^2, MCONTACT.h:2760, rearranged —
+        # robust in f32 and well-conditioned for the oscillation test)
+        ratio = vals / jnp.maximum(allow, tiny)
+        moni = state.moni.at[state.it % ADMM_MONI_CYCLE].set(ratio)
 
-        # convergence: every monitor below crit * allowance (MCONTACT.h:2760)
-        converged = jnp.all(vals <= ADMM_CRIT_DISP * allow)
+        # convergence: every monitor ratio below crit (MCONTACT.h:2760;
+        # dtype-floored, utils/precision.py)
+        converged = jnp.all(ratio <= crit_disp)
 
         # oscillation freeze for the coarse correction (MCONTACT.h:2749-2758,
         # 2838-2840): all monitors' 10-sample oscillation < 0.1 * median
@@ -235,6 +254,7 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
 
 def init_state(prob: AdmmProblem) -> AdmmState:
     B, n = prob.cons_forc.shape
+    dtype = prob.cons_forc.dtype
     groups = []
     n_moni = B
     for g in prob.groups:
@@ -242,18 +262,18 @@ def init_state(prob: AdmmProblem) -> AdmmState:
         i = g.rho_g.shape[1]
         groups.append(
             GroupState(
-                z=jnp.zeros((R, 2, m)),
-                lam=jnp.zeros((R, 2, m)),
-                gamma=jnp.zeros((R, i)),
+                z=jnp.zeros((R, 2, m), dtype),
+                lam=jnp.zeros((R, 2, m), dtype),
+                gamma=jnp.zeros((R, i), dtype),
             )
         )
         n_moni += 2 * R
     return AdmmState(
-        u=jnp.zeros((B, n)),
+        u=jnp.zeros((B, n), dtype),
         groups=tuple(groups),
         it=jnp.zeros((), jnp.int32),
         converged=jnp.zeros((), bool),
-        moni=jnp.full((ADMM_MONI_CYCLE, n_moni), jnp.inf),
+        moni=jnp.full((ADMM_MONI_CYCLE, n_moni), jnp.inf, dtype),
         mult_frozen=jnp.zeros((), bool),
         inner_iters=jnp.zeros((), jnp.int32),
     )

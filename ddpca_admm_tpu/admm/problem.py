@@ -104,6 +104,7 @@ def build_problem(
     meshes: Sequence | None = None,
     precond_dtype=None,
     coarse_solver: str = "auto",
+    dtype=None,
 ) -> tuple[AdmmProblem, AdmmMeta]:
     """Build the device problem.
 
@@ -111,7 +112,8 @@ def build_problem(
     (doleMcsc, MCONTACT.h:23); None disables them.  ``musc_sett`` is the
     reference's correction bitmask (MCONTACT.h:22): bit0 = MULTISCALE (A,
     LATIN macroscopic — requires ``meshes``), bit1 = MULTISCALE_1 (B,
-    interface-eliminated)."""
+    interface-eliminated).  ``dtype``: solve dtype (default: the backend
+    precision policy, utils/precision.py — f64 on CPU, f32 on TPU)."""
     B = len(systems)
     import jax.numpy as _jnp
 
@@ -248,6 +250,14 @@ def build_problem(
         u_mask=jnp.asarray(u_mask),
         coarse=coarse,
     )
+    from ..utils.precision import cast_pytree, solve_dtype
+
+    sd = solve_dtype(dtype)
+    if sd != jnp.dtype(jnp.float64):
+        # Downcast the whole problem to the solve dtype (TPU path).  When the
+        # solve dtype is f64 (CPU) nothing is cast: operators are already f64
+        # and the V-cycle preconditioner intentionally stays f32.
+        prob = cast_pytree(prob, sd)
     meta = AdmmMeta(
         systems=list(systems),
         regions=list(regions),

@@ -216,7 +216,9 @@ def vcycle(mg: MgHierarchy, b: jnp.ndarray, x: jnp.ndarray | None = None) -> jnp
         return xl
 
     # scale into a well-ranged f32 window (residual norms can be ~1e-14*b)
-    scale = jnp.maximum(jnp.abs(b).max(axis=-1, keepdims=True), 1e-300)
+    scale = jnp.maximum(
+        jnp.abs(b).max(axis=-1, keepdims=True), jnp.finfo(b.dtype).tiny
+    )
     b_s = (b / scale).astype(dtype)
     x_s = jnp.zeros_like(b_s) if x is None else (x / scale).astype(dtype)
     out = cycle(L, b_s, x_s)

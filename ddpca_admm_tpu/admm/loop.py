@@ -52,6 +52,9 @@ class AdmmState(NamedTuple):
     moni: jnp.ndarray                 # (cycle, n_monitors) rolling buffer
     mult_frozen: jnp.ndarray          # scalar bool (coarse correction freeze)
     inner_iters: jnp.ndarray          # total inner CG iterations
+    moni_hist: jnp.ndarray            # (hist_rows, n_monitors) per-iteration
+    # monitor ratios accumulated ON DEVICE (resuMoni parity from the fast
+    # path; hist_rows=1 when recording is off — the row is just overwritten)
 
 
 def _gather_u(u: jnp.ndarray, body_idx: jnp.ndarray) -> jnp.ndarray:
@@ -224,6 +227,8 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
         # robust in f32 and well-conditioned for the oscillation test)
         ratio = vals / jnp.maximum(allow, tiny)
         moni = state.moni.at[state.it % ADMM_MONI_CYCLE].set(ratio)
+        hist_rows = state.moni_hist.shape[0]
+        moni_hist = state.moni_hist.at[state.it % hist_rows].set(ratio)
 
         # convergence: every monitor ratio below crit (MCONTACT.h:2760;
         # dtype-floored, utils/precision.py)
@@ -247,12 +252,13 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
             moni=moni,
             mult_frozen=mult_frozen,
             inner_iters=state.inner_iters + inner_it,
+            moni_hist=moni_hist,
         )
 
     return step
 
 
-def init_state(prob: AdmmProblem) -> AdmmState:
+def init_state(prob: AdmmProblem, hist_rows: int = 1) -> AdmmState:
     B, n = prob.cons_forc.shape
     dtype = prob.cons_forc.dtype
     groups = []
@@ -276,6 +282,7 @@ def init_state(prob: AdmmProblem) -> AdmmState:
         moni=jnp.full((ADMM_MONI_CYCLE, n_moni), jnp.inf, dtype),
         mult_frozen=jnp.zeros((), bool),
         inner_iters=jnp.zeros((), jnp.int32),
+        moni_hist=jnp.full((hist_rows, n_moni), jnp.inf, dtype),
     )
 
 
@@ -309,16 +316,25 @@ def contact_analysis_stepwise(
     return state
 
 
-@partial(jax.jit, static_argnames=("modes", "max_iter", "inner_maxiter"))
+@partial(
+    jax.jit,
+    static_argnames=("modes", "max_iter", "inner_maxiter", "record_moni"),
+)
 def contact_analysis(
     prob: AdmmProblem,
     modes: tuple[str, ...],
     max_iter: int = ADMM_MAX_ITER,
     inner_maxiter: int = 500,
+    record_moni: bool = False,
 ) -> AdmmState:
-    """Run the full ADMM loop to convergence (or max_iter)."""
+    """Run the full ADMM loop to convergence (or max_iter).
+
+    ``record_moni=True`` sizes the on-device history buffer to ``max_iter``
+    rows so every iteration's monitor ratios survive the loop (resuMoni.txt
+    parity, MCONTACT.h:2742, without leaving the fast path); rows past
+    convergence stay +inf."""
     step = make_admm_step(prob, modes, inner_maxiter=inner_maxiter)
-    state0 = init_state(prob)
+    state0 = init_state(prob, hist_rows=max_iter if record_moni else 1)
 
     def cond(state: AdmmState):
         return jnp.logical_and(state.it < max_iter, ~state.converged)

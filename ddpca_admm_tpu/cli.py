@@ -27,32 +27,20 @@ def _solve_and_write(prob, meta, bodies, outdir: str, max_iter: int = 3000,
     import jax
     import numpy as np
 
-    from .admm.loop import contact_analysis, contact_analysis_stepwise
+    from .admm.loop import contact_analysis
     from .utils import io as rio
 
     t0 = time.time()
-    if moni:
-        # host-driven loop so every iteration's monitors can be harvested
-        # (the reference writes resuMoni.txt inside the loop, MCONTACT.h:2742)
-        from .utils.constants import ADMM_MONI_CYCLE
-
-        history = []
-
-        def cb(state):
-            it = int(state.it)
-            history.append(np.asarray(state.moni[(it - 1) % ADMM_MONI_CYCLE]))
-
-        state = contact_analysis_stepwise(
-            prob, tuple(meta.group_modes), max_iter=max_iter, callback=cb
-        )
-    else:
-        state = contact_analysis(
-            prob, tuple(meta.group_modes), max_iter=max_iter
-        )
+    # --moni stays on the fast path: the jitted loop accumulates every
+    # iteration's monitor ratios in an on-device buffer (loop.py moni_hist)
+    state = contact_analysis(
+        prob, tuple(meta.group_modes), max_iter=max_iter, record_moni=moni
+    )
     jax.block_until_ready(state.u)
     solve_s = time.time() - t0
     if moni:
-        rio.write_moni(outdir, np.array(history))
+        hist = np.asarray(state.moni_hist)[: int(state.it)]
+        rio.write_moni(outdir, hist)
 
     os.makedirs(outdir, exist_ok=True)
     for b, (body, sysm) in enumerate(zip(bodies, meta.systems)):

@@ -62,8 +62,8 @@ def adaptive_refine(
         return False
 
     spli_nodes = (
-        set(int(n) for n in mast_faces[pm[close]].ravel()),
-        set(int(n) for n in slav_faces[ps[close]].ravel()),
+        np.unique(mast_faces[pm[close]].ravel()),
+        np.unique(slav_faces[ps[close]].ravel()),
     )
 
     refined = False
@@ -76,9 +76,7 @@ def adaptive_refine(
         cand = leaves[lvl_ok]
         if cand.size == 0:
             continue
-        touch = np.array(
-            [any(int(n) in nodes for n in mesh.elem_corn[e]) for e in cand]
-        )
+        touch = np.isin(mesh.elem_corn[cand], nodes).any(axis=1)
         els = cand[touch]
         if els.size == 0:
             continue

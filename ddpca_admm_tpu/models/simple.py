@@ -212,7 +212,10 @@ def chain_problem(
             )
         )
     systems = assemble_bodies(bodies, regions)
-    prob, meta = build_problem(systems, regions)
+    # MULTISCALE_1 coarse correction: without it an n-body chain propagates
+    # boundary information one interface per ADMM iteration (same reason the
+    # reference runs BLOCK with muscSett set, MCONTACT.h:2540-2624)
+    prob, meta = build_problem(systems, regions, dole=[0] * n_bodies)
     return prob, meta, bodies
 
 

@@ -5,10 +5,17 @@ The reference parallelizes the ADMM x-update with OpenMP over subdomains
 batched body axis (B) of every solver array is sharded over the mesh axis
 ``domain`` — each chip owns a slice of subdomains and runs their multigrid
 V-cycles locally; the interface consensus (z/lambda updates need the
-neighbor body's trace B_p^T u) crosses chips, which XLA lowers to
-all-gather/reduce-scatter collectives over ICI from the sharding constraints
-alone (GSPMD).  The coarse-space correction is replicated (small by
-construction), mirroring the reference's sequential coarse solve.
+neighbor body's trace B_p^T u, MCONTACT.h:2629-2704) crosses chips, which
+XLA lowers to all-gather/reduce-scatter collectives over ICI from the
+sharding constraints alone (GSPMD).  The coarse-space correction and all
+region-group operators are replicated: a contact region couples two bodies
+that may live on different chips, and the coarse problem couples all bodies
+(small by construction — mirroring the reference's sequential coarse solve).
+
+Placement is by *field*, not by shape: every AdmmProblem/AdmmState field is
+named below as either body-batched (leading axis B -> P('domain')) or
+replicated.  A shape heuristic would silently mis-shard region-group arrays
+whose leading axis R (regions) happens to equal B.
 """
 
 from __future__ import annotations
@@ -20,6 +27,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..admm.loop import AdmmState
 from ..admm.problem import AdmmProblem
 
+# AdmmProblem fields whose every array leaf is batched over bodies (axis 0=B).
+_PROBLEM_DOMAIN_FIELDS = frozenset(
+    {"mg", "cons_forc", "gram", "gram_lin", "gram_const", "u_mask"}
+)
+# AdmmProblem fields replicated on every device.
+_PROBLEM_REPLICATED_FIELDS = frozenset({"groups", "coarse"})
+# AdmmState: only u is body-batched; z/lambda/gamma lead with R (regions),
+# monitors and scalars are global.
+_STATE_DOMAIN_FIELDS = frozenset({"u"})
+_STATE_REPLICATED_FIELDS = frozenset(
+    {"groups", "it", "converged", "moni", "mult_frozen", "inner_iters",
+     "moni_hist"}
+)
+
 
 def domain_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
@@ -27,35 +48,68 @@ def domain_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), axis_names=("domain",))
 
 
-def shard_problem(prob: AdmmProblem, mesh: Mesh) -> AdmmProblem:
-    """Place body-batched arrays (leading dim B) on P('domain'); replicate
-    everything else (region operators, coarse correction)."""
-    B = prob.cons_forc.shape[0]
+def _check_divisible(B: int, mesh: Mesh) -> None:
     n_dev = mesh.devices.size
+    if B % n_dev != 0:
+        raise ValueError(
+            f"body count B={B} is not divisible by the {n_dev}-device "
+            f"'domain' mesh: every chip must own the same number of "
+            f"subdomains (SPMD).  Pad the body list (add empty bodies) or "
+            f"use a mesh size dividing {B}."
+        )
+
+
+def _place_fields(tree, field_names, domain_fields, replicated_fields, mesh):
+    """device_put every array leaf by its top-level field membership."""
     sharded = NamedSharding(mesh, P("domain"))
     replicated = NamedSharding(mesh, P())
 
-    def place(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == B and B % n_dev == 0:
-            return jax.device_put(x, sharded)
-        if hasattr(x, "shape"):
-            return jax.device_put(x, replicated)
-        return x
+    def put(sub, sh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh) if hasattr(x, "shape") else x,
+            sub,
+        )
 
-    return jax.tree_util.tree_map(place, prob)
+    parts = {}
+    for name in field_names:
+        sub = getattr(tree, name)
+        if name in domain_fields:
+            parts[name] = put(sub, sharded)
+        elif name in replicated_fields:
+            parts[name] = put(sub, replicated)
+        else:  # pragma: no cover - new field added without a placement
+            raise KeyError(
+                f"field {name!r} has no sharding placement; add it to the "
+                "field tables in parallel/sharding.py"
+            )
+    return type(tree)(**parts)
+
+
+def shard_problem(prob: AdmmProblem, mesh: Mesh) -> AdmmProblem:
+    """Place every problem field per the placement tables above."""
+    _check_divisible(prob.cons_forc.shape[0], mesh)
+    return _place_fields(
+        prob, AdmmProblem._fields, _PROBLEM_DOMAIN_FIELDS,
+        _PROBLEM_REPLICATED_FIELDS, mesh,
+    )
 
 
 def shard_state(state: AdmmState, prob: AdmmProblem, mesh: Mesh) -> AdmmState:
-    B = prob.cons_forc.shape[0]
-    n_dev = mesh.devices.size
-    sharded = NamedSharding(mesh, P("domain"))
-    replicated = NamedSharding(mesh, P())
+    _check_divisible(prob.cons_forc.shape[0], mesh)
+    return _place_fields(
+        state, AdmmState._fields, _STATE_DOMAIN_FIELDS,
+        _STATE_REPLICATED_FIELDS, mesh,
+    )
 
-    def place(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == B and B % n_dev == 0:
-            return jax.device_put(x, sharded)
-        if hasattr(x, "shape"):
-            return jax.device_put(x, replicated)
-        return x
 
-    return jax.tree_util.tree_map(place, state)
+def assert_state_sharding(state: AdmmState, mesh: Mesh) -> None:
+    """Verify the post-step state keeps the designed placement of the big
+    loop-carried array: u stays sharded over 'domain' (anything else means
+    every ADMM iteration pays an all-to-all reshard of all body DOFs).
+    Group-state leaves (z/lambda/gamma, small) are left to GSPMD — it may
+    pick a partial placement for them, which is fine as long as it is
+    consistent across iterations (guaranteed inside the jitted while_loop)."""
+    u_sh = state.u.sharding
+    expect = NamedSharding(mesh, P("domain"))
+    if not u_sh.is_equivalent_to(expect, state.u.ndim):
+        raise AssertionError(f"state.u resharded: {u_sh} != {expect}")

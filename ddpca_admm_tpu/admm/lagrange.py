@@ -422,7 +422,14 @@ def _restricted_gmg_precond(Khat, systems, base, rest):
     if mats[0].shape[0] > 3000:
         return None  # coarse dense inverse would dominate; fall back to Jacobi
     mg = build_hierarchy([mats], [prols], assume_sym=False)
-    return lambda r: vcycle(mg, r[None])[0]
+    n = Khat.shape[0]
+    n_pad = mg.levels[-1].A.n_rows  # hierarchy pads to the 128-lane tile
+
+    def prec(r):
+        rp = jnp.pad(r, (0, n_pad - n)) if n_pad > n else r
+        return vcycle(mg, rp[None])[0][:n]
+
+    return prec
 
 
 def _block_inverse(T0: sp.spmatrix, status, regions) -> sp.csr_matrix:

@@ -40,6 +40,7 @@ import scipy.sparse as sp
 
 from ..fem.constraints import ConstrainedSystem
 from ..solvers.mg import MgHierarchy, build_hierarchy
+from ..sparse.bell import device_sparse, round_up
 from ..sparse.ell import Ell, ell_from_csr, stack_ells, to_device
 from ..utils.constants import DIRE_MAXI
 from .operators import RegionOps
@@ -140,12 +141,16 @@ def _coarse_solver_parts(
             return jnp.asarray(one), jnp.asarray(one), mg
         # dole==0 everywhere: no hierarchy below the coarse level exists;
         # fall through to the dense path (only reachable when forced).
-    dense = G.toarray()
+    # pad the coarse space to the 128-lane tile multiple used by every
+    # device operator (sparse/bell.py); padded rows/cols are identity
+    Nc_pad = round_up(Nc, 128)
+    dense = np.eye(Nc_pad)
+    dense[:Nc, :Nc] = G.toarray()
     # LU, not Cholesky: the reference factorizes with LDLT (MCONTACT.h:1858),
     # and with non-matching coarse interpolations across a curved interface
     # the coupled operator can be (slightly) indefinite.
     lu = scipy.linalg.lu_factor(dense)
-    G_inv = scipy.linalg.lu_solve(lu, np.eye(Nc))
+    G_inv = scipy.linalg.lu_solve(lu, np.eye(Nc_pad))
     return jnp.asarray(G_inv), jnp.asarray(dense), None
 
 
@@ -257,13 +262,10 @@ def build_coarse_correction(
                 M[base[b_self] : base[b_self + 1]] = T_self
                 M[base[b_mate] : base[b_mate + 1]] += T_mate
                 mats.append(M.tocsr())
-        e = stack_ells(mats, n_rows=Nc, n_cols=m_pads[g_i])
         R = len(idx)
         tranL_groups.append(
-            Ell(
-                vals=jnp.asarray(e.vals.reshape(R, 2, *e.vals.shape[1:])),
-                cols=jnp.asarray(e.cols.reshape(R, 2, *e.cols.shape[1:])),
-                n_cols=e.n_cols,
+            device_sparse(
+                mats, round_up(Nc, 128), m_pads[g_i], batch_shape=(R, 2)
             )
         )
 
@@ -275,12 +277,15 @@ def build_coarse_correction(
         accu_blocks.append(Fv)
     accu = sp.block_diag(accu_blocks, format="csr")  # (B*n_pad, Nc)
 
+    Nc_pad = round_up(Nc, 128)
     return CoarseCorrection(
         inv=inv,
         mat=mat,
-        forc0=jnp.asarray(forc0),
-        tranD=to_device(ell_from_csr((-tranD).tocsr())),  # sign baked in
-        accu=to_device(ell_from_csr(accu)),
+        forc0=jnp.asarray(np.pad(forc0, (0, Nc_pad - Nc))),
+        tranD=device_sparse(
+            [(-tranD).tocsr()], Nc_pad, B * n_pad  # sign baked in
+        ),
+        accu=device_sparse([accu], B * n_pad, Nc_pad),
         tranL=tuple(tranL_groups),
         tranZ=None,
         mg=mg,
@@ -381,11 +386,8 @@ def build_coarse_correction_a(
         R = len(idx)
 
         def stack(mats):
-            e = stack_ells(mats, n_rows=Nc, n_cols=m_pads[g_i])
-            return Ell(
-                vals=jnp.asarray(e.vals.reshape(R, 2, *e.vals.shape[1:])),
-                cols=jnp.asarray(e.cols.reshape(R, 2, *e.cols.shape[1:])),
-                n_cols=e.n_cols,
+            return device_sparse(
+                mats, round_up(Nc, 128), m_pads[g_i], batch_shape=(R, 2)
             )
 
         tranL_groups.append(stack(matsL))
@@ -415,12 +417,13 @@ def build_coarse_correction_a(
         format="csr",
     )
 
+    Nc_pad = round_up(Nc, 128)
     return CoarseCorrection(
         inv=inv,
         mat=mat,
-        forc0=jnp.zeros(Nc),
-        tranD=to_device(ell_from_csr(tranD)),
-        accu=to_device(ell_from_csr(accu)),
+        forc0=jnp.zeros(Nc_pad),
+        tranD=device_sparse([tranD], Nc_pad, B * n_pad),
+        accu=device_sparse([accu], B * n_pad, Nc_pad),
         tranL=tuple(tranL_groups),
         tranZ=tuple(tranZ_groups),
         mg=mg,

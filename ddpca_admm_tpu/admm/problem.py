@@ -27,6 +27,7 @@ import scipy.sparse as sp
 
 from ..fem.constraints import ConstrainedSystem
 from ..solvers.mg import MgHierarchy, build_hierarchy
+from ..sparse.bell import device_sparse, round_up
 from ..sparse.ell import Ell, stack_ells, to_device
 from .operators import RegionOps
 
@@ -133,7 +134,7 @@ def build_problem(
         gram_lin[b, :nb] = s.expand.T @ s.expand_const
         gram_const[b] = float(s.expand_const @ s.expand_const)
         u_mask[b, :nb] = True
-    gram = stack_ells(gram_mats, n_rows=n_pad, n_cols=n_pad)
+    gram = device_sparse(gram_mats, n_pad, n_pad)
 
     # group regions by mode
     modes = sorted({r.region.mode for r in regions})
@@ -144,19 +145,21 @@ def build_problem(
         group_region_idx.append(idx)
         regs = [regions[i] for i in idx]
         R = len(regs)
-        m_pad = max(r.sides[s].inte_mass.shape[0] for r in regs for s in (0, 1))
-        i_pad = max(r.pema.size for r in regs)
+        # pad interface/integral-point dims to the 128-lane tile; vector mode
+        # additionally needs divisibility by 3 (gamma n/t1/t2 deinterleave in
+        # loop.py) -> lcm(128,3) = 384
+        align = 384 if mode == "vector" else 128
+        m_pad = round_up(
+            max(r.sides[s].inte_mass.shape[0] for r in regs for s in (0, 1)),
+            align,
+        )
+        i_pad = round_up(max(r.pema.size for r in regs), align)
 
         body_idx = np.array([r.region.bodies for r in regs], dtype=np.int32)
         fric = np.array([r.region.fric for r in regs])
 
         def stacked(mats, n_rows, n_cols):
-            e = stack_ells(mats, n_rows=n_rows, n_cols=n_cols)
-            return Ell(
-                vals=e.vals.reshape(R, 2, *e.vals.shape[1:]),
-                cols=e.cols.reshape(R, 2, *e.cols.shape[1:]),
-                n_cols=e.n_cols,
-            )
+            return device_sparse(mats, n_rows, n_cols, batch_shape=(R, 2))
 
         comp = {
             (i, s): _compose(r, systems[r.region.bodies[s]].expand,
@@ -196,18 +199,18 @@ def build_problem(
         groups.append(
             RegionGroup(
                 body_idx=jnp.asarray(body_idx),
-                TtP=to_device(TtP),
-                Tt=to_device(Tt),
-                Bp=to_device(Bp),
+                TtP=TtP,
+                Tt=Tt,
+                Bp=Bp,
                 bp_const=jnp.asarray(bp_const),
-                M=to_device(M),
-                Mp=to_device(Mp),
+                M=M,
+                Mp=Mp,
                 M_diag=jnp.asarray(M_diag),
                 Mp_diag=jnp.asarray(Mp_diag),
-                L=to_device(L),
-                Pd=to_device(Pd),
+                L=L,
+                Pd=Pd,
                 pd_const=jnp.asarray(pd_const),
-                E=to_device(E),
+                E=E,
                 rho_g=jnp.asarray(rho_g),
                 fric=jnp.asarray(fric),
                 m_mask=jnp.asarray(m_mask),
@@ -243,7 +246,7 @@ def build_problem(
     prob = AdmmProblem(
         mg=mg,
         cons_forc=jnp.asarray(cons_forc),
-        gram=to_device(gram),
+        gram=gram,
         gram_lin=jnp.asarray(gram_lin),
         gram_const=jnp.asarray(gram_const),
         groups=tuple(groups),

@@ -209,6 +209,28 @@ def constrain(
     expand = (Pmat @ prol[L] @ C_L.T).tocsr()
     expand_const = Pmat @ (prol[L] @ lift)
 
+    # RCM bandwidth reordering of every reduced space: clusters each row's
+    # couplings into few 128-column blocks, which sets the storage/time of
+    # the TPU block-ELL SpMV (sparse/bell.py; measured: mean column-blocks
+    # per 8-row block drops ~3x vs insertion order).  Pure permutation —
+    # all downstream operators compose with ``expand`` so stay consistent.
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    Q = []
+    for l, A_l in enumerate(cons_stif):
+        p = reverse_cuthill_mckee(A_l, symmetric_mode=True)
+        nl = A_l.shape[0]
+        Q.append(
+            sp.csr_matrix(
+                (np.ones(nl), (np.arange(nl), p)), shape=(nl, nl)
+            )
+        )  # x_new = Q x_old
+        cons_stif[l] = (Q[l] @ A_l @ Q[l].T).tocsr()
+    for l in range(len(real_prol)):
+        real_prol[l] = (Q[l + 1] @ real_prol[l] @ Q[l].T).tocsr()
+    cons_forc = Q[-1] @ cons_forc
+    expand = (expand @ Q[-1].T).tocsr()
+
     sysm = ConstrainedSystem(
         cons_stif=[cons_stif[i] for i in range(len(cons_stif))],
         real_prol=real_prol,

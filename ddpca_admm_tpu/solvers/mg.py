@@ -24,6 +24,7 @@ import numpy as np
 import scipy.linalg
 import scipy.sparse as sp
 
+from ..sparse.bell import device_sparse, round_up
 from ..sparse.ell import Ell, stack_ells, to_device
 
 CHEB_DEGREE = 3
@@ -90,7 +91,8 @@ def build_hierarchy(
     levels = []
     for l in range(L):
         mats = [cons_stif[b][l] for b in range(B)]
-        n_pad = max(m.shape[0] for m in mats)
+        # pad to a (8,128)-tile multiple (uniform for ELL and BlockEll)
+        n_pad = round_up(max(m.shape[0] for m in mats), 128)
         # pad diagonal with 1.0 so padded rows stay decoupled identity
         padded = []
         for m in mats:
@@ -99,20 +101,16 @@ def build_hierarchy(
                 extra = n_pad - m.shape[0]
                 m = sp.block_diag([m, sp.identity(extra)], format="csr")
             padded.append(m)
-        A = stack_ells(padded, n_rows=n_pad, n_cols=n_pad)
         diag = np.stack([np.asarray(m.diagonal()) for m in padded])
         inv_diag = np.where(diag != 0.0, 1.0 / np.where(diag == 0, 1, diag), 1.0)
         lmax = np.array([estimate_lmax(m) for m in padded])
-        if l > 0:
-            pmats = [real_prol[b][l - 1] for b in range(B)]
-            n_fine = n_pad
-            n_coar = levels[-1]["n_pad"]
-            P = stack_ells(pmats, n_rows=n_fine, n_cols=n_coar)
-            Pt = stack_ells([m.T.tocsr() for m in pmats], n_rows=n_coar, n_cols=n_fine)
-        else:
-            P = Pt = None
         levels.append(
-            dict(A=A, inv_diag=inv_diag, lmax=lmax, P=P, Pt=Pt, n_pad=n_pad)
+            dict(
+                mats=padded, inv_diag=inv_diag, lmax=lmax, n_pad=n_pad,
+                pmats=(
+                    [real_prol[b][l - 1] for b in range(B)] if l > 0 else None
+                ),
+            )
         )
 
     # coarse dense inverses (host scipy f64 factorization, shipped in dtype)
@@ -135,19 +133,40 @@ def build_hierarchy(
             lu = scipy.linalg.lu_factor(dense + shift * np.eye(n0))
             inv[b] = scipy.linalg.lu_solve(lu, np.eye(n0))
 
-    dev_levels = tuple(
-        MgLevel(
-            A=to_device(lv["A"], dtype),
-            inv_diag=jnp.asarray(lv["inv_diag"], dtype),
-            lmax=jnp.asarray(lv["lmax"], dtype),
-            P=to_device(lv["P"], dtype) if lv["P"] is not None else None,
-            Pt=to_device(lv["Pt"], dtype) if lv["Pt"] is not None else None,
+    dev_levels = []
+    for l, lv in enumerate(levels):
+        if l > 0:
+            n_fine, n_coar = lv["n_pad"], levels[l - 1]["n_pad"]
+            P = device_sparse(lv["pmats"], n_fine, n_coar, dtype)
+            Pt = device_sparse(
+                [m.T.tocsr() for m in lv["pmats"]], n_coar, n_fine, dtype
+            )
+        else:
+            P = Pt = None
+        dev_levels.append(
+            MgLevel(
+                A=device_sparse(lv["mats"], lv["n_pad"], lv["n_pad"], dtype),
+                inv_diag=jnp.asarray(lv["inv_diag"], dtype),
+                lmax=jnp.asarray(lv["lmax"], dtype),
+                P=P,
+                Pt=Pt,
+            )
         )
-        for lv in levels
-    )
-    A_top = to_device(levels[-1]["A"], jnp.float64)
+    # Krylov matvec operator: f64 for true 1e-14-relative residuals where
+    # the solve dtype is f64 (CPU policy); on TPU the solve dtype equals the
+    # hierarchy dtype, so A_top aliases the finest-level buffers instead of
+    # duplicating the largest operator in memory.
+    from ..utils.precision import solve_dtype
+
+    sd = solve_dtype()
+    if jnp.dtype(sd) == jnp.dtype(dtype):
+        A_top = dev_levels[-1].A
+    else:
+        A_top = device_sparse(
+            levels[-1]["mats"], levels[-1]["n_pad"], levels[-1]["n_pad"], sd
+        )
     return MgHierarchy(
-        levels=dev_levels,
+        levels=tuple(dev_levels),
         coarse_inv=jnp.asarray(inv, dtype),
         A_top=A_top,
     )
@@ -198,7 +217,7 @@ def vcycle(mg: MgHierarchy, b: jnp.ndarray, x: jnp.ndarray | None = None) -> jnp
     cycle itself runs in the hierarchy's (f32) dtype and casts back."""
     L = len(mg.levels) - 1
     in_dtype = b.dtype
-    dtype = mg.levels[-1].A.vals.dtype
+    dtype = mg.levels[-1].A.dtype
 
     def cycle(l: int, bl: jnp.ndarray, xl: jnp.ndarray) -> jnp.ndarray:
         if l == 0:

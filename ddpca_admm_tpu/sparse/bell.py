@@ -1,0 +1,208 @@
+"""Block-ELL sparse format: the TPU-fast SpMV.
+
+Plain ELL SpMV (ell.py) is a per-element gather ``x[cols]`` — XLA lowers
+arbitrary gathers on TPU to a scalarized loop (~10 ns/element; measured
+~107 ms for one 9x14k-DOF stiffness matvec on v5e, 1000x off the HBM
+roofline).  TPUs move data in (sublane, lane) = (8, 128) tiles, so the
+native formulation is *block*-ELL:
+
+  * rows grouped into blocks of RB=8 (one sublane tile),
+  * columns grouped into blocks of CB=128 (one lane tile),
+  * per row-block, the S distinct column-blocks it touches are stored as
+    dense (8, 128) tiles + one int32 block index each.
+
+SpMV is then a gather of whole 128-lane vectors (fast path) + a VPU/MXU
+einsum over the tiles: measured ~3 ms for the same operator — HBM-bound at
+the tile footprint.  The cost is storage (tiles are ~10% occupied for hex8
+stiffness), which is why ConstrainedSystem applies an RCM reordering
+(fem/constraints.py): it drops S from ~18 to ~6 column-blocks per row-block.
+
+Role in the reference: these are the Eigen RowMajor SpMV kernels
+(MGPIS.h:66-77 smoother sweeps, MCONTACT.h:2520-2522 coupling applies)
+re-designed for the TPU memory system.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+RB = 8     # row-block (sublane tile)
+CB = 128   # column-block (lane tile)
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-int(x) // m) * m
+
+
+def use_block_format() -> bool:
+    """Device sparse format policy: block-ELL on accelerators, plain ELL on
+    CPU (where XLA's gather is fine and block padding only wastes memory).
+    Override with DDPCA_SPARSE_FORMAT=ell|bell (used by the format-equality
+    tests)."""
+    env = os.environ.get("DDPCA_SPARSE_FORMAT")
+    if env:
+        return env == "bell"
+    return jax.default_backend() != "cpu"
+
+
+class BlockEll(NamedTuple):
+    """Block-ELL matrix; batched with leading axes on tiles/cblk.
+
+    tiles: (..., n_rb, S, RB, CB) dense tiles (zero-padded slots)
+    cblk:  (..., n_rb, S) int32 column-block indices (padded slots -> 0)
+    n_cols: static padded column count (multiple of CB)
+    """
+
+    tiles: jnp.ndarray
+    cblk: jnp.ndarray
+    n_cols: int
+
+    @property
+    def n_rows(self) -> int:
+        return self.tiles.shape[-4] * RB
+
+    @property
+    def dtype(self):
+        return self.tiles.dtype
+
+    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A @ x; batch axes broadcast like Ell.mv."""
+        mat_batch = self.tiles.shape[:-4]
+        batch = jnp.broadcast_shapes(mat_batch, x.shape[:-1])
+        n_rb, S = self.tiles.shape[-4:-2]
+        acc = jnp.promote_types(self.tiles.dtype, x.dtype)
+
+        def one(tiles, cblk, xx):
+            xb = xx.reshape(-1, CB)
+            xg = xb[cblk]                      # (n_rb, S, CB) block gather
+            y = jnp.einsum(
+                "rsic,rsc->ri", tiles, xg, preferred_element_type=acc
+            )
+            return y.reshape(-1)
+
+        if not batch:
+            return one(self.tiles, self.cblk, x)
+        tiles = jnp.broadcast_to(self.tiles, batch + self.tiles.shape[-4:])
+        cblk = jnp.broadcast_to(self.cblk, batch + self.cblk.shape[-2:])
+        xb = jnp.broadcast_to(x, batch + x.shape[-1:])
+        flat = int(np.prod(batch))
+        out = jax.vmap(one)(
+            tiles.reshape((flat,) + self.tiles.shape[-4:]),
+            cblk.reshape((flat,) + self.cblk.shape[-2:]),
+            xb.reshape(flat, x.shape[-1]),
+        )
+        return out.reshape(batch + (n_rb * RB,))
+
+
+def _bell_arrays_single(
+    A: sp.spmatrix, n_rows: int, n_cols: int, S: int, dtype
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tile one csr matrix into (n_rb, S, RB, CB) + (n_rb, S) arrays.
+    ``n_rows``/``n_cols`` are the padded sizes (multiples of RB/CB)."""
+    n_rb = n_rows // RB
+    ncb = n_cols // CB
+    A = A.tocoo()
+    if A.nnz == 0:
+        return (
+            np.zeros((n_rb, S, RB, CB), dtype),
+            np.zeros((n_rb, S), np.int32),
+        )
+    rb = A.row // RB
+    cb = A.col // CB
+    key = rb.astype(np.int64) * ncb + cb
+    uk, inv = np.unique(key, return_inverse=True)
+    urb = (uk // ncb).astype(np.int64)
+    ucb = (uk % ncb).astype(np.int32)
+    starts = np.searchsorted(urb, np.arange(n_rb), side="left")
+    slot_of_uk = np.arange(uk.size) - starts[urb]
+    need = int(slot_of_uk.max()) + 1
+    if need > S:
+        raise ValueError(f"slot overflow: need {need} > S={S}")
+    cblk = np.zeros((n_rb, S), np.int32)
+    cblk[urb, slot_of_uk] = ucb
+    tiles = np.zeros((n_rb, S, RB, CB), dtype)
+    np.add.at(
+        tiles,
+        (rb, slot_of_uk[inv], A.row % RB, A.col % CB),
+        A.data.astype(dtype),
+    )
+    return tiles, cblk
+
+
+def _max_slots(mats: Sequence[sp.spmatrix], n_cols: int) -> int:
+    """Max distinct column-blocks touched by any row-block, over the batch."""
+    ncb = n_cols // CB
+    S = 1
+    for A in mats:
+        A = A.tocoo()
+        if A.nnz == 0:
+            continue
+        key = (A.row // RB).astype(np.int64) * ncb + A.col // CB
+        uk = np.unique(key)
+        counts = np.bincount(uk // ncb)
+        S = max(S, int(counts.max()))
+    return S
+
+
+def bell_from_csr_list(
+    mats: Sequence[sp.spmatrix],
+    n_rows: int | None = None,
+    n_cols: int | None = None,
+    dtype=np.float32,
+    batch_shape: tuple[int, ...] | None = None,
+) -> BlockEll:
+    """Build a (stacked) device BlockEll from scipy matrices; sizes padded to
+    (RB, CB) multiples and the batch maxima.  ``batch_shape`` reshapes the
+    leading stack axis (e.g. (R, 2))."""
+    n_rows = round_up(n_rows or max(m.shape[0] for m in mats), RB)
+    n_cols = round_up(n_cols or max(m.shape[1] for m in mats), CB)
+    S = _max_slots(mats, n_cols)
+    parts = [_bell_arrays_single(m, n_rows, n_cols, S, dtype) for m in mats]
+    tiles = np.stack([p[0] for p in parts])
+    cblk = np.stack([p[1] for p in parts])
+    if batch_shape is not None:
+        tiles = tiles.reshape(batch_shape + tiles.shape[1:])
+        cblk = cblk.reshape(batch_shape + cblk.shape[1:])
+    elif len(mats) == 1:
+        tiles, cblk = tiles[0], cblk[0]
+    return BlockEll(
+        tiles=jnp.asarray(tiles), cblk=jnp.asarray(cblk), n_cols=n_cols
+    )
+
+
+def device_sparse(
+    mats: Sequence[sp.spmatrix],
+    n_rows: int | None = None,
+    n_cols: int | None = None,
+    dtype=None,
+    batch_shape: tuple[int, ...] | None = None,
+):
+    """Format-dispatching device sparse builder: BlockEll on TPU, ELL on CPU
+    (use_block_format policy).  Row/column counts are always padded to
+    (RB, CB)=(8, 128) multiples so the two formats produce identically
+    shaped vectors."""
+    from .ell import Ell, stack_ells, to_device
+
+    n_rows = round_up(n_rows or max(m.shape[0] for m in mats), RB)
+    n_cols = round_up(n_cols or max(m.shape[1] for m in mats), CB)
+    if use_block_format():
+        return bell_from_csr_list(
+            mats, n_rows, n_cols, dtype=np.dtype(dtype or np.float64),
+            batch_shape=batch_shape,
+        )
+    e = stack_ells(mats, n_rows=n_rows, n_cols=n_cols)
+    if batch_shape is not None:
+        e = Ell(
+            vals=e.vals.reshape(batch_shape + e.vals.shape[1:]),
+            cols=e.cols.reshape(batch_shape + e.cols.shape[1:]),
+            n_cols=e.n_cols,
+        )
+    elif len(mats) == 1:
+        e = Ell(vals=e.vals[0], cols=e.cols[0], n_cols=e.n_cols)
+    return to_device(e, dtype)

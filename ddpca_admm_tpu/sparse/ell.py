@@ -32,6 +32,10 @@ class Ell(NamedTuple):
     def n_rows(self) -> int:
         return self.vals.shape[-2]
 
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A @ x; x (..., n_cols) with batch axes broadcast against the
         matrix's batch axes.  Implemented as per-lane gathers (vmapped

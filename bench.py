@@ -56,6 +56,10 @@ def main() -> None:
     st = contact_analysis(prob, modes, max_iter=3000)
     jax.block_until_ready(st.u)
     dt = time.perf_counter() - t0
+    assert bool(st.converged), (
+        f"bench run did not converge within {int(st.it)} iterations — "
+        "throughput of a non-converged solve would be meaningless"
+    )
     its_per_s = int(st.it) / dt
 
     print(

@@ -26,6 +26,14 @@ import os
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# Full-precision matmuls everywhere: TPU MXU defaults to bfloat16 passes for
+# f32 operands (~1e-3 relative error), which would break the solver precision
+# policy — CG residual floors of ~40*eps(f32) and the (100*eps)^2 convergence
+# criterion (utils/precision.py) are unreachable with bf16 matvecs.  All
+# einsum/matmul in this package are solver algebra (SpMV tiles, coarse
+# inverse applies, element stiffness); none can tolerate bf16.  SpMV is
+# HBM-bound, so the extra MXU passes are essentially free.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 # NOTE: jax's persistent compilation cache deadlocks under this image's
 # runtime (even on the CPU backend) — do not enable it here.  Opt in

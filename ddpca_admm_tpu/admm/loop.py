@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..solvers.krylov import pcg
-from ..solvers.mg import coarse_solve, vcycle
+from ..solvers.mg import vcycle
 from ..utils.constants import (
     ADMM_CRIT_DISP,
     ADMM_CRIT_OSCI,
@@ -53,8 +53,12 @@ class AdmmState(NamedTuple):
     mult_frozen: jnp.ndarray          # scalar bool (coarse correction freeze)
     inner_iters: jnp.ndarray          # total inner CG iterations
     moni_hist: jnp.ndarray            # (hist_rows, n_monitors) per-iteration
-    # monitor ratios accumulated ON DEVICE (resuMoni parity from the fast
-    # path; hist_rows=1 when recording is off — the row is just overwritten)
+    # monitor RATIOS ||d.||^2/||.||^2 accumulated ON DEVICE (hist_rows=1 when
+    # recording is off — the row is just overwritten).  Deliberate deviation
+    # from resuMoni's raw squared norms (MCONTACT.h:2738-2742): raw values
+    # underflow f32; the ratio test is the same convergence criterion
+    # rearranged (see utils/io.py::write_moni), and the oscillation freeze
+    # runs on ratios rather than raw values for the same reason.
 
 
 def _gather_u(u: jnp.ndarray, body_idx: jnp.ndarray) -> jnp.ndarray:
@@ -149,6 +153,7 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
                             co.mg.A_top.mv,
                             lambda r: vcycle(co.mg, r),
                             gf[None],
+                            rtol=inner_rtol,
                             maxiter=500,
                         ).x[0]
                     else:

@@ -118,9 +118,13 @@ def build_problem(
     B = len(systems)
     import jax.numpy as _jnp
 
+    from ..utils.precision import solve_dtype as _solve_dtype
+
+    sd = _solve_dtype(dtype)
     mg = build_hierarchy(
         [s.cons_stif for s in systems], [s.real_prol for s in systems],
         dtype=precond_dtype or _jnp.float32,
+        a_top_dtype=sd,
     )
     n_pad = mg.levels[-1].A.n_rows
     cons_forc = np.zeros((B, n_pad))
@@ -253,9 +257,8 @@ def build_problem(
         u_mask=jnp.asarray(u_mask),
         coarse=coarse,
     )
-    from ..utils.precision import cast_pytree, solve_dtype
+    from ..utils.precision import cast_pytree
 
-    sd = solve_dtype(dtype)
     if sd != jnp.dtype(jnp.float64):
         # Downcast the whole problem to the solve dtype (TPU path).  When the
         # solve dtype is f64 (CPU) nothing is cast: operators are already f64

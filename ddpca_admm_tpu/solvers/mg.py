@@ -69,6 +69,7 @@ def build_hierarchy(
     real_prol: list[list[sp.spmatrix]],
     dtype=jnp.float32,
     assume_sym: bool = True,
+    a_top_dtype=None,
 ) -> MgHierarchy:
     """Build a batched hierarchy from per-subdomain scipy matrices.
 
@@ -155,10 +156,12 @@ def build_hierarchy(
     # Krylov matvec operator: f64 for true 1e-14-relative residuals where
     # the solve dtype is f64 (CPU policy); on TPU the solve dtype equals the
     # hierarchy dtype, so A_top aliases the finest-level buffers instead of
-    # duplicating the largest operator in memory.
+    # duplicating the largest operator in memory.  ``a_top_dtype`` lets the
+    # caller (build_problem) thread its explicitly requested solve dtype
+    # instead of re-deriving it from the global backend policy.
     from ..utils.precision import solve_dtype
 
-    sd = solve_dtype()
+    sd = a_top_dtype if a_top_dtype is not None else solve_dtype()
     if jnp.dtype(sd) == jnp.dtype(dtype):
         A_top = dev_levels[-1].A
     else:

@@ -81,8 +81,13 @@ class BlockEll(NamedTuple):
         def one(tiles, cblk, xx):
             xb = xx.reshape(-1, CB)
             xg = xb[cblk]                      # (n_rb, S, CB) block gather
+            # HIGHEST: never let the MXU truncate f32 tiles to bf16 — the
+            # solver precision policy needs true-f32 matvecs (also enforced
+            # globally via jax_default_matmul_precision in __init__, but kept
+            # explicit here so the kernel is correct standalone).
             y = jnp.einsum(
-                "rsic,rsc->ri", tiles, xg, preferred_element_type=acc
+                "rsic,rsc->ri", tiles, xg, preferred_element_type=acc,
+                precision=jax.lax.Precision.HIGHEST,
             )
             return y.reshape(-1)
 

@@ -139,9 +139,16 @@ def write_integral_points(outdir: str, ip, ident) -> None:
 
 def write_moni(outdir: str, history: np.ndarray) -> None:
     """resuMoni.txt (MCONTACT.h:2502,2742,2835): per-iteration convergence
-    monitors — column 0 is the ADMM iteration, then the squared increment
-    monitors in the loop's order (||du||^2 per body, then ||dz||^2 per
-    region side for every group)."""
+    monitors — column 0 is the ADMM iteration, then one monitor column per
+    body (du) followed by one per region side (dz) in the loop's order.
+
+    Deliberate deviation from the reference: each column is the
+    scale-invariant *ratio* ||d.||^2 / ||.||^2, not the raw squared norm the
+    reference records (MCONTACT.h:2738-2742).  Raw squared norms underflow
+    f32 (1e-12-scale increments square to ~1e-24), so the TPU fast path
+    monitors the ratio against the criterion 1e-12 directly; convergence
+    semantics are identical (the reference compares vals <= 1e-12 * allow,
+    i.e. the same ratio test, MCONTACT.h:2760)."""
     os.makedirs(outdir, exist_ok=True)
     history = np.atleast_2d(np.asarray(history))
     rows = np.column_stack([np.arange(len(history), dtype=float), history])

@@ -66,6 +66,8 @@ class HexMesh:
         # reference examples, kept for parity)
         self.coup_nodes: set[int] = set()
         self.coup_reps: int = -1
+        # (defs, ids) pairs recorded by the most recent refine() call
+        self.last_new_nodes: list[tuple[np.ndarray, np.ndarray]] = []
 
     # ------------------------------------------------------------------ nodes
     @property
@@ -281,15 +283,22 @@ class HexMesh:
         spli: set[int] | np.ndarray,
         spli_flag: dict[int, set[int]] | None = None,
         plan_surf: dict[tuple[int, ...], np.ndarray] | None = None,
+        mid_fn=None,
     ) -> set[int]:
         """REFINE (MULTIGRID.h:375-545): split marked elements per their
         ``elem_patt`` pattern; bisection nodes land on ``plan_surf`` (exact
-        curved surface) when their defining-corner key is present, else at the
-        corner average.  Returns the children selected by ``spli_flag``."""
+        curved surface) when their defining-corner key is present, else at
+        ``mid_fn(corner_coords (E,m,3)) -> (E,3)`` (the reference's
+        COOR_AVER hooks — e.g. DEHW's cylindrical/toroidal averaging,
+        DEHW.h:62-138), defaulting to the plain corner average.  Returns the
+        children selected by ``spli_flag``; records every created node in
+        ``self.last_new_nodes`` as (sorted defining-corner ids (E,m),
+        node ids (E,)) for interface-surface bookkeeping (UPDA_*)."""
         spli_flag = spli_flag or {}
         plan_surf = plan_surf or {}
         spli = self.grle_check(set(int(x) for x in np.asarray(list(spli))))
         result: set[int] = set()
+        self.last_new_nodes: list[tuple[np.ndarray, np.ndarray]] = []
         if not spli:
             return result
         spli_arr = np.array(sorted(spli), dtype=np.int64)
@@ -305,13 +314,17 @@ class HexMesh:
             new_ids = np.zeros((els.size, n_new), dtype=np.int64)
             for j, defin in enumerate(pa.new_corners_list):
                 defs = np.sort(corn[:, defin], axis=1)     # (E,m) sorted ids
-                coords = self._coords[defs].mean(axis=1)
+                if mid_fn is not None:
+                    coords = np.asarray(mid_fn(self._coords[defs]))
+                else:
+                    coords = self._coords[defs].mean(axis=1)
                 if plan_surf:
                     for r in range(els.size):
                         hit = plan_surf.get(tuple(int(v) for v in defs[r]))
                         if hit is not None:
                             coords[r] = hit
                 new_ids[:, j] = self.add_nodes(coords)
+                self.last_new_nodes.append((defs, new_ids[:, j].copy()))
             # children
             nc = pa.n_children
             ccorn = np.zeros((els.size, nc, 8), dtype=np.int64)

@@ -354,9 +354,17 @@ def wheel_point(p: DehwParams, xi_21: float, xi_22: float,
     if out is None:
         return None
     r2, sol, f = out
-    if np.linalg.norm(f * np.array([1.0, 1.0 / xi_22])) > 1e-8:
+    if _zone_dist(f, xi_22, np.hypot(p.a_h2 - np.hypot(r2[..., 0], r2[..., 1]),
+                                     r2[..., 2])) > 1e-9:
         return None
     return r2, sol
+
+
+def _zone_dist(f: np.ndarray, xi_22: float, radi: float) -> float:
+    """Reference convergence measure (DEHWSURF.h:1219-1221): absolute
+    radi*|d angle| + |d radius| in meters, from the residual
+    f = [angle - xi_21, r^2 - xi_22^2]."""
+    return float(radi * abs(f[0]) + abs(f[1]) / (radi + xi_22))
 
 
 def former_point(p: DehwParams, xi_21: float, xi_22: float,
@@ -376,7 +384,8 @@ def former_point(p: DehwParams, xi_21: float, xi_22: float,
     if out is None:
         return None
     r2, sol, f = out
-    if np.linalg.norm(f * np.array([1.0, 1.0 / xi_22])) > 1e-8:
+    if _zone_dist(f, xi_22, np.hypot(p.a_h2 - np.hypot(r2[..., 0], r2[..., 1]),
+                                     r2[..., 2])) > 1e-9:
         return None
     return r2, sol
 
@@ -398,7 +407,8 @@ def transition_point(p: DehwParams, xi_21: float, xi_22: float, xi_11: float,
     if out is None:
         return None
     r2, sol, f = out
-    if np.linalg.norm(f * np.array([1.0, 1.0 / xi_22])) > 1e-8:
+    if _zone_dist(f, xi_22, np.hypot(p.a_h2 - np.hypot(r2[..., 0], r2[..., 1]),
+                                     r2[..., 2])) > 1e-9:
         return None
     return r2, sol
 
@@ -675,28 +685,34 @@ def curvature_interference(p: DehwParams, thet_1, thet_h):
 # ---------------------------------------------------------------------------
 
 
-def _relief_field(n_u: int, n_v: int, L: int, amounts, expo: float,
+def _relief_field(n_u: int, n_v: int, L, amounts, expo: float,
                   tip_at_j0: bool) -> np.ndarray:
     """Relief magnitude per grid index (n_u, n_v): cubic-law ramps of depth
     ``amounts[0]`` at the tooth tip border (j) and ``amounts[1]`` at both
     face-width ends (i), blended around the corners by the reference's
-    cosine rule (DEHWSURF.h:1016-1034)."""
+    cosine rule (DEHWSURF.h:1016-1034).  ``L`` is the ramp length in grid
+    indices — a scalar or a per-axis (L_i, L_j) pair (the reference uses 40
+    on both axes at its full resolution; reduced grids scale per axis)."""
     a_tip, a_end = amounts
+    L_i, L_j = (L, L) if np.isscalar(L) else L
     ti = np.arange(n_u, dtype=np.float64)[:, None]
     tj = np.arange(n_v, dtype=np.float64)[None, :]
-    d_tip = np.maximum(L - tj if tip_at_j0 else tj - (n_v - 1 - L), 0.0)
-    d_end = np.maximum(np.maximum(L - ti, ti - (n_u - 1 - L)), 0.0)
+    # normalized border distances (units of the ramp length); the index
+    # arithmetic matches WORM_RELI/WHEE_RELI exactly (which measure against
+    # the grid SIZE, not size-1: ti < L and ti > n - L, DEHWSURF.h:1004-1005)
+    d_tip = np.maximum(L_j - tj if tip_at_j0 else tj - (n_v - L_j), 0.0) / L_j
+    d_end = np.maximum(np.maximum(L_i - ti, ti - (n_u - L_i)), 0.0) / L_i
     only_tip = (d_tip > 0) & (d_end == 0)
     only_end = (d_end > 0) & (d_tip == 0)
     corner = (d_tip > 0) & (d_end > 0)
     rel = np.zeros((n_u, n_v))
-    rel = np.where(only_tip, (d_tip / L) ** expo * a_tip, rel)
-    rel = np.where(only_end, (d_end / L) ** expo * a_end, rel)
+    rel = np.where(only_tip, d_tip**expo * a_tip, rel)
+    rel = np.where(only_end, d_end**expo * a_end, rel)
     with np.errstate(divide="ignore", invalid="ignore"):
         rati = np.arctan2(d_tip, d_end) / (PI / 2.0)
         maxi = a_end + (np.cos(rati * PI) - 1.0) * (a_end - a_tip) / 2.0
         rad = np.hypot(d_tip, d_end)
-        rel = np.where(corner, (rad / L) ** expo * maxi, rel)
+        rel = np.where(corner, rad**expo * maxi, rel)
     return rel
 
 
@@ -770,67 +786,83 @@ def wheel_back_grid(p: DehwParams, pts: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _zone_candidates_new(p: DehwParams, f_lr: int, window, n_c=48, n_h=32):
-    """Coarse scan of the second-envelope branch f_lr (NEW_CONT_ZONE init
-    scan, DEHWSURF.h:1125-1165): returns in-box, interference-free samples
-    as (angl, radi, thet_c, thet_h) rows."""
-    tcs = np.linspace(0.011 * PI, 0.489 * PI, n_c)
-    bounds = np.array([singular_c2h(p, t) for t in tcs])   # (n_c, 2)
-    eps = 1e-6
-    if f_lr == 1:
-        lo, hi = bounds[:, 0] + eps, bounds[:, 1] - eps
-    else:
-        lo, hi = bounds[:, 1] + eps, bounds[:, 0] + 2.0 * PI - eps
-    frac = np.linspace(0.0, 1.0, n_h)
-    TH = lo[:, None] + (hi - lo)[:, None] * frac[None, :]
-    TC = np.broadcast_to(tcs[:, None], TH.shape)
-    ok = (hi > lo)[:, None] & np.ones_like(TH, bool)
-    th1 = p.i_1c * TC
-    x_d, y_d = fsme(p, th1, TH)
-    r2 = whee_1h2r(p, x_d, y_d, th1, TH)
+def _seed_new_zone(p: DehwParams, f_lr: int, n_c: int = 1000,
+                   n_h: int = 10000):
+    """NEW_CONT_ZONE seed scan (DEHWSURF.h:1117-1165): the FIRST
+    (thet_c-major, thet_h-minor) scan point of branch ``f_lr`` that lies in
+    the wheel (angle, radius) box and is free of curvature interference.
+    The thet_h scan runs high->low for the left branch and low->high for
+    the right one (the reference's "choosing order of thet_h").
+    Returns (angl, radi, thet_c, thet_h) or None."""
+    eps = 1.0e-8
+    tcs = 0.01 * PI + (0.49 - 0.01) * PI * np.arange(n_c + 1) / n_c
+    frac = np.arange(n_h + 1) / n_h
+    for s in range(0, n_c + 1, 50):
+        tc = tcs[s : s + 50]
+        bounds = np.array([singular_c2h(p, t) for t in tc])
+        if f_lr == 1:
+            lo, hi = bounds[:, 0] + eps, bounds[:, 1] - eps
+            TH = hi[:, None] - (hi - lo)[:, None] * frac[None, :]
+        else:
+            lo, hi = bounds[:, 1] + eps, bounds[:, 0] + 2.0 * PI - eps
+            TH = lo[:, None] + (hi - lo)[:, None] * frac[None, :]
+        TC = np.broadcast_to(tc[:, None], TH.shape)
+        ok = np.broadcast_to((hi > lo)[:, None], TH.shape).copy()
+        th1 = p.i_1c * TC
+        x_d, y_d = fsme(p, th1, TH)
+        r2 = whee_1h2r(p, x_d, y_d, th1, TH)
+        a, r = wheel_local(p, r2)
+        rmin, rmax = wheel_bounds(p, a)
+        psi, _ = curvature_interference(p, th1, TH)
+        ok &= (psi > 0.0)
+        ok &= (-p.widt_angl <= a) & (a <= p.widt_angl)
+        ok &= (rmin <= r) & (r <= rmax)
+        if ok.any():
+            i = int(np.argmax(ok.reshape(-1)))
+            return (a.reshape(-1)[i], r.reshape(-1)[i],
+                    TC.reshape(-1)[i], TH.reshape(-1)[i])
+    return None
+
+
+def _seed_former_zone(p: DehwParams, n_c: int = 1000, n_d: int = 10000):
+    """FORMER_CONT_ZONE seed scan (DEHWSURF.h:1272-1301): first
+    generating-plane point (thet_c-major, x_d-minor) inside the wheel box.
+    Returns (angl, radi, thet_c, x_d) or None."""
+    tcs = 0.01 * PI + (0.49 - 0.01) * PI * np.arange(n_c + 1) / n_c
+    xds = -10.0 * p.a_1c + 20.0 * p.a_1c * np.arange(1, n_d) / n_d
+    for s in range(0, n_c + 1, 50):
+        tc = tcs[s : s + 50]
+        TC, XD = np.meshgrid(tc, xds, indexing="ij")
+        r_c, _ = plane_point_c(p, TC, XD)
+        a, r = wheel_local(p, r_c)
+        rmin, rmax = wheel_bounds(p, a)
+        ok = (-p.widt_angl <= a) & (a <= p.widt_angl)
+        ok &= (rmin <= r) & (r <= rmax)
+        if ok.any():
+            i = int(np.argmax(ok.reshape(-1)))
+            return (a.reshape(-1)[i], r.reshape(-1)[i],
+                    TC.reshape(-1)[i], XD.reshape(-1)[i])
+    return None
+
+
+def _seed_tran_zone(p: DehwParams, xi_11: float, n_c: int = 1000):
+    """TRANSITION_ZONE seed scan (DEHWSURF.h:1401-1428): the worm end-edge
+    family at thet_h = xi_11, thet_c scanned between the configurations
+    that generate the worm root / wheel root radii at this azimuth.
+    Returns (angl, radi, thet_c, thet_h) or None."""
+    _, tcL = worm_curv_to_cart(p, np.array(xi_11), np.array(p.a_h2 - p.d_f[0] / 2.0))
+    _, tcH = worm_curv_to_cart(p, np.array(xi_11), np.array(p.d_f[1] / 2.0))
+    tcL, tcH = float(tcL), float(tcH)
+    tcs = tcL + (tcH - tcL) * np.arange(n_c + 1) / n_c
+    r2 = worm_edge_point(p, tcs, np.full_like(tcs, xi_11), xi_11)
     a, r = wheel_local(p, r2)
-    rmin, rmax = wheel_bounds(p, np.clip(a, -p.widt_angl, p.widt_angl))
-    psi, _ = curvature_interference(p, th1, TH)
-    sb, cb = np.sin(p.beta_c), np.cos(p.beta_c)
-    r_c = np.stack([-x_d, p.r_b2 - y_d * sb, y_d * cb], axis=-1)
-    woxi = worm_azimuth(p, r_c, TC)
-    ok &= (np.abs(a) <= p.widt_angl) & (rmin <= r) & (r <= rmax)
-    ok &= (psi > 0.0)
-    ok &= (window[0] - 1e-12 <= woxi) & (woxi <= window[1] + 1e-12)
-    return np.stack([a[ok], r[ok], TC[ok], TH[ok]], axis=-1)
-
-
-def _zone_candidates_former(p: DehwParams, window, n_c=48, n_d=200):
-    """Coarse scan of the generating-plane family (FORMER_CONT_ZONE init
-    scan, DEHWSURF.h:1273-1296)."""
-    tcs = np.linspace(0.011 * PI, 0.489 * PI, n_c)
-    xds = np.linspace(-2.0 * p.a_1c, 2.0 * p.a_1c, n_d)
-    TC, XD = np.meshgrid(tcs, xds, indexing="ij")
-    r_c, _ = plane_point_c(p, TC, XD)
-    a, r = wheel_local(p, r_c)
-    rmin, rmax = wheel_bounds(p, np.clip(a, -p.widt_angl, p.widt_angl))
-    woxi = worm_azimuth(p, r_c, TC)
-    ok = (np.abs(a) <= p.widt_angl) & (rmin <= r) & (r <= rmax)
-    ok &= (window[0] - 1e-12 <= woxi) & (woxi <= window[1] + 1e-12)
-    return np.stack([a[ok], r[ok], TC[ok], XD[ok]], axis=-1)
-
-
-def _zone_candidates_tran(p: DehwParams, xi_11, n_c=400):
-    """Coarse scan of the worm end-edge envelope at thet_h = xi_11 — the
-    reference's seeding line, which selects the physically cut sheet of the
-    edge envelope (TRANSITION_ZONE init scan, DEHWSURF.h:1408-1432)."""
-    tcs = np.linspace(0.011 * PI, 0.489 * PI, n_c)
-    TC = tcs
-    TH = np.full_like(TC, xi_11)
-    r2 = worm_edge_point(p, TC, TH, xi_11)
-    a, r = wheel_local(p, r2)
-    rmin, rmax = wheel_bounds(p, np.clip(a, -p.widt_angl, p.widt_angl))
-    ok = (np.abs(a) <= p.widt_angl) & (rmin <= r) & (r <= rmax)
+    rmin, rmax = wheel_bounds(p, a)
+    ok = (-p.widt_angl <= a) & (a <= p.widt_angl) & (rmin <= r) & (r <= rmax)
     ok &= np.isfinite(a) & np.isfinite(r)
-    # the edge is a finite segment of the thread end face: tip..root
-    xi12 = worm_radial(p, worm_edge_curve(p, TC, xi_11))
-    ok &= (p.R_a[0] - 1e-9 <= xi12) & (xi12 <= p.R_f[0] + 1e-9)
-    return np.stack([a[ok], r[ok], TC[ok], TH[ok]], axis=-1)
+    if not ok.any():
+        return None
+    i = int(np.argmax(ok))
+    return (a[i], r[i], tcs[i], xi_11)
 
 
 def wheel_surface_grid(p: DehwParams, n_u: int, n_v: int,
@@ -872,15 +904,15 @@ def wheel_surface_grid(p: DehwParams, n_u: int, n_v: int,
             phase[ti, tj] = ph
 
     def accept(sol, z):
-        """Generator-side physicality: zones 1-3 must be cut by a point
-        inside the thread azimuth window; zones 4/5 by a point on the
-        finite end-edge segment (tip..root)."""
+        """Merge gate (NOT a search gate — the BFS keeps flooding through
+        converged-but-rejected cells, DEHWSURF.h:1222-1266): zones 1-3 must
+        be generated by a point inside the thread azimuth window
+        (woxi_11 check, DEHWSURF.h:1240-1244); zones 4/5 merge every
+        converged point unconditionally (DEHWSURF.h:1478-1480) — the
+        azimuth-phase priority handles sheet selection."""
         tc = sol[0]
         if z in (4, 5):
-            xi12 = worm_radial(
-                p, worm_edge_curve(p, tc, window[0] if z == 4 else window[1])
-            )
-            return p.R_a[0] - 1e-9 <= xi12 <= p.R_f[0] + 1e-9
+            return True
         if z in (1, 2):
             x_d, y_d = fsme(p, p.i_1c * tc, sol[1])
         else:
@@ -890,14 +922,14 @@ def wheel_surface_grid(p: DehwParams, n_u: int, n_v: int,
         w = worm_azimuth(p, r_c, tc)
         return window[0] - 1e-12 <= w <= window[1] + 1e-12
 
-    zones: list[tuple[int, np.ndarray]] = [
-        (1, _zone_candidates_new(p, 1, window)),
-        (2, _zone_candidates_new(p, 2, window)),
+    zones: list[tuple[int, "tuple | None"]] = [
+        (1, _seed_new_zone(p, 1)),
+        (2, _seed_new_zone(p, 2)),
     ]
     if not modified:
-        zones.append((3, _zone_candidates_former(p, window)))
-    zones.append((4, _zone_candidates_tran(p, window[0])))
-    zones.append((5, _zone_candidates_tran(p, window[1])))
+        zones.append((3, _seed_former_zone(p)))
+    zones.append((4, _seed_tran_zone(p, window[0])))
+    zones.append((5, _seed_tran_zone(p, window[1])))
 
     from collections import deque
 
@@ -908,26 +940,40 @@ def wheel_surface_grid(p: DehwParams, n_u: int, n_v: int,
         4: lambda u, v, init: transition_point(p, u, v, window[0], init),
         5: lambda u, v, init: transition_point(p, u, v, window[1], init),
     }
-    for z, cand in zones:
-        if cand.size == 0:
+    for z, seed in zones:
+        if seed is None:
             continue
+        a, r, s0, s1 = seed
         seen = np.zeros((n_u + 1, n_v + 1), dtype=bool)
         q = deque()
-        for a, r, s0, s1 in cand:
-            ti, tj = nearest_cell(a, r)
-            if not seen[ti, tj]:
-                seen[ti, tj] = True
-                q.append((ti, tj, (s0, s1)))
+        # locate every cell whose +-quarter-step box contains the seed
+        # point (DEHWSURF.h:1176-1192) and enqueue its 4 corners
+        eps_x = (us[:-1] - us[1:]) / 4.0
+        eps_y = (vs[:-1, 1:] - vs[:-1, :-1]) / 4.0
+        hit = (
+            (us[1:, None] - eps_x[:, None] <= a)
+            & (a <= us[:-1, None] + eps_x[:, None])
+            & (vs[:-1, :-1] - eps_y <= r)
+            & (r <= vs[:-1, 1:] + eps_y)
+        )
+        for ci, cj in zip(*np.nonzero(hit)):
+            for di, dj in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                ti, tj = int(ci) + di, int(cj) + dj
+                if not seen[ti, tj]:
+                    seen[ti, tj] = True
+                    q.append((ti, tj, (s0, s1)))
         while q:
             ti, tj, init = q.popleft()
             res = solvers[z](us[ti], vs[ti, tj], init)
             if res is None:
                 continue
             r2, sol = res
-            if not accept(sol, z):
-                continue
-            merge(ti, tj, r2, z)
-            for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            if accept(sol, z):
+                merge(ti, tj, r2, z)
+            # spread on convergence regardless of the merge gate (the
+            # reference's 8-neighbor flood, DEHWSURF.h:1247-1262)
+            for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1),
+                           (-1, -1), (-1, 1), (1, -1), (1, 1)):
                 ni, nj = ti + di, tj + dj
                 if 0 <= ni <= n_u and 0 <= nj <= n_v and not seen[ni, nj]:
                     seen[ni, nj] = True
@@ -935,3 +981,395 @@ def wheel_surface_grid(p: DehwParams, n_u: int, n_v: int,
     if relief:
         pts = wheel_relief_grid(p, pts)
     return pts, fpha
+
+
+# ---------------------------------------------------------------------------
+# Full surface set at reference grid conventions (DEHWSURF::ESTABLISH,
+# DEHWSURF.h:1913-1921): the 8 CURVEDS grids the DEHW mesh generators consume
+# (worm/wheel tooth flank + back + root transition front/back), with the
+# reference's index conventions:
+#   * worm flank rows ti: thread coordinate xi_11 = real_star + ti*dt_fine,
+#     cols tj: profile coordinate xi_12 from R_t[0] (root) to R_a[0] (tip);
+#   * wheel flank rows: face angle from -widt_angl to +widt_angl, cols from
+#     the root-transition radius R_t[1] to the tip (the reference stores the
+#     wheel grids flipped in both indices, DEHWSURF.h:1806-1808 — these
+#     arrays ARE the stored orientation);
+#   * root grids at reduced resolution (no loca_leve rows, glob_homo cols),
+#     DEHWSURF.h:1850-1886.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DehwGrid:
+    """Mesh-grid settings (DEHWSURF ctor, DEHWSURF.h:185-196).
+
+    grid_numb[body] = [hub width (even), hub height, half tooth width,
+    tooth height, xi_11 per block / facewidth divisions, computed ending
+    blocks / tooth count, computed block count / blocks along facewidth].
+    """
+
+    worm_numb: tuple = (4, 2, 2, 4, 4)     # gridNumb[0][0..4]
+    whee_numb: tuple = (4, 4, 2, 4, 8)     # gridNumb[1][0..4]
+    whee_teeth: int = 9                    # gridNumb[1][5] = 8 + z[0]
+    glob_inho: int = 1
+    glob_homo: int = 2
+    loca_leve: int = 3
+    reli_swit: int = 1
+    circ_numb: int = 8
+    # relief ramp length in grid indices; None = the reference's 40 scaled
+    # per axis to the grid resolution (exactly 40 at the reference config)
+    reli_leng: float | None = None
+
+    @property
+    def fact_i(self) -> int:
+        """Thread/facewidth-direction fine factor (full refinement)."""
+        return 1 << (self.glob_inho + self.glob_homo + self.loca_leve)
+
+    @property
+    def fact_j(self) -> int:
+        """Profile-direction fine factor."""
+        return 1 << (self.glob_homo + self.loca_leve)
+
+
+def worm_layout(p: DehwParams, g: DehwGrid):
+    """Worm thread partition into circumferential domains
+    (WORM_TS_GRID, DEHWSURF.h:1706-1718).  Returns (n_end, n_doma,
+    real_star, delt_tang): xi_11 steps of the two ending blocks, total
+    domain count (34 at reference parameters), grid start coordinate, and
+    the base xi_11 step."""
+    doma_circ = 2.0 * PI / g.circ_numb
+    delt_tang = doma_circ / g.worm_numb[4]
+    inte_star = p.worm_curv[1]
+    while inte_star - doma_circ >= p.worm_curv[0]:
+        inte_star -= doma_circ
+    n_end = int(np.ceil((inte_star - p.worm_curv[0]) / delt_tang - 1e-12))
+    real_star = inte_star - n_end * delt_tang
+    inte_endi = p.worm_curv[1]
+    while inte_endi + doma_circ <= p.worm_curv[2]:
+        inte_endi += doma_circ
+    n_doma = int(np.floor((inte_endi - inte_star) / doma_circ + 1.0e-10)) + 2
+    return n_end, n_doma, real_star, delt_tang
+
+
+def _relief_L(g: DehwGrid) -> tuple[float, float]:
+    """Reference relief ramp length 40 at full resolution
+    (fact_i, fact_j) = (64, 32); scaled per axis for reduced grids (the
+    reference hard-codes 40 indices, which only makes sense at its full
+    resolution — scaling keeps the physical relief zone invariant)."""
+    if g.reli_leng is not None:
+        return (float(g.reli_leng), float(g.reli_leng))
+    return (max(1.0, 40.0 * g.fact_i / 64.0), max(1.0, 40.0 * g.fact_j / 32.0))
+
+
+def worm_ts_grid(p: DehwParams, g: DehwGrid, chunk: int = 200_000):
+    """Full worm working-flank grid (WORM_TS_GRID, DEHWSURF.h:1703-1748).
+    Returns (pts (n0, n1, 3), xi11 (n0,), xi12 (n1,))."""
+    n_end, n_doma, real_star, delt_tang = worm_layout(p, g)
+    n0 = (g.worm_numb[4] * (n_doma - 2) + n_end * 2) * g.fact_i + 1
+    n1 = g.worm_numb[3] * g.fact_j + 1
+    xi11 = real_star + np.arange(n0) * (delt_tang / g.fact_i)
+    xi12 = p.R_t[0] + (p.R_a[0] - p.R_t[0]) * np.arange(n1) / (n1 - 1)
+    XI11, XI12 = np.meshgrid(xi11, xi12, indexing="ij")
+    flat1, flat2 = XI11.ravel(), XI12.ravel()
+    outs = []
+    for s in range(0, flat1.size, chunk):
+        pts, _ = worm_curv_to_cart(p, flat1[s : s + chunk], flat2[s : s + chunk])
+        outs.append(pts)
+    pts = np.concatenate(outs).reshape(n0, n1, 3)
+    if g.reli_swit:
+        # tip at high j (xi12 runs root -> tip), both thread ends relieved
+        pts = worm_relief_grid(p, pts, L=_relief_L(g), tip_at_j0=False)
+    return pts, xi11, xi12
+
+
+def whee_ts_grid(p: DehwParams, g: DehwGrid):
+    """Full zoned wheel flank grid in the reference's STORED orientation
+    (WHEE_TS_GRID + the flipped INSERT of TOOT_SURF_GRID,
+    DEHWSURF.h:1751-1810): rows = face angle -widt_angl .. +widt_angl, cols
+    = profile R_t[1] (root transition) .. tip.  Returns (pts, fpha, alph3
+    (n0,) face angles of the stored rows)."""
+    n_u = g.whee_numb[4] * g.fact_i
+    n_v = g.whee_numb[3] * g.fact_j
+    # generator window = the FULL worm grid range (curvCoor[0] first..last
+    # row, DEHWSURF.h:1240-1244), slightly wider than worm_curv[0..2]
+    n_end, n_doma, real_star, delt_tang = worm_layout(p, g)
+    n0_worm = (g.worm_numb[4] * (n_doma - 2) + n_end * 2) * g.fact_i
+    window = (real_star, real_star + n0_worm * delt_tang / g.fact_i)
+    pts, fpha = wheel_surface_grid(p, n_u, n_v, worm_window=window,
+                                   relief=False)
+    if g.reli_swit:
+        # relief is applied in the cartCoor orientation (tip at j=0,
+        # DEHWSURF.h:1777-1784) BEFORE the stored-orientation flip, so the
+        # reference's asymmetric index arithmetic is reproduced exactly
+        pts = wheel_relief_grid(
+            p, pts, L=_relief_L(g), amounts=(12.0e-6, 16.0e-6), tip_at_j0=True
+        )
+    pts = pts[::-1, ::-1]
+    fpha = fpha[::-1, ::-1]
+    alph3 = -p.widt_angl + 2.0 * p.widt_angl * np.arange(n_u + 1) / n_u
+    return pts, fpha, alph3
+
+
+def whee_toba_from_tosu(p: DehwParams, tosu: np.ndarray) -> np.ndarray:
+    """Wheel tooth-back grid from the stored flank grid (TOOT_SURF_GRID,
+    DEHWSURF.h:1828-1841): row-reversed mirror by the tooth-back angle."""
+    c, s = np.cos(p.back_angl[1]), np.sin(p.back_angl[1])
+    src = tosu[::-1, :]
+    return np.stack(
+        [c * src[..., 0] - s * src[..., 1],
+         -s * src[..., 0] - c * src[..., 1],
+         -src[..., 2]], axis=-1,
+    )
+
+
+def _worm_axial_frame(xi11: np.ndarray):
+    """Axial-section 2D frame at worm azimuth -xi11 (WORM_ROOT,
+    DEHWSURF.h:1544-1556): 3D point -> (u, v) = (z, a_h2 - r) with the
+    section's tangential coordinate dropped."""
+    t = -np.asarray(xi11)
+    c, s = np.cos(t), np.sin(t)
+
+    def to2d(pts):
+        u = pts[..., 2]
+        v = (pts[..., 0] * c + pts[..., 1] * s)
+        return u, -v  # second coord is -(r) before the +a_h2 shift
+
+    def to3d(u, v):
+        # 2D (u, v_raw) with v_raw measured like the reference's poin_i
+        # (radius from the WORM AXIS in the section plane handled by caller)
+        return u, v
+
+    return t, c, s, to2d
+
+
+def worm_root_grids(p: DehwParams, g: DehwGrid, tosu: np.ndarray,
+                    toba: np.ndarray, xi11: np.ndarray):
+    """Worm root-transition grids wormRtsu/wormRtba (WORM_ROOT +
+    ROOT_TRAN_GRID, DEHWSURF.h:1510-1596,1850-1867): per axial section, the
+    root profile runs from the mid-gap point on the root circle R_f[0]
+    (about the gorge center) along the circle, then along a tangent fillet
+    arc up to the flank's root end.  Rows subsample the flank rows by
+    (1 << loca_leve); columns = (worm_numb[0]/2) * 2^glob_homo + 1."""
+    step = 1 << g.loca_leve
+    rows = np.arange(0, tosu.shape[0], step)
+    n_cols = (g.worm_numb[0] // 2) * (1 << g.glob_homo) + 1
+    out = []
+    for flag, flank in ((1, tosu), (-1, toba)):
+        P0 = flank[rows, 0]                      # (R, 3) flank root points
+        P1 = flank[rows, 1]
+        t = -xi11[rows]
+        c, s = np.cos(t), np.sin(t)
+        # axial-section coords (u, v) about the gorge center
+        def sec(Pt):
+            u = Pt[..., 2]
+            v = -(Pt[..., 0] * c + Pt[..., 1] * s) + p.a_h2
+            return np.stack([u, v], axis=-1)
+        q0, q1 = sec(P0), sec(P1)
+        v1 = q1 - q0
+        v1 /= np.linalg.norm(v1, axis=-1, keepdims=True)
+        v2 = -q0
+        L1 = (v2 * v1).sum(-1)
+        L2 = np.sqrt(np.maximum((v2 * v2).sum(-1) - L1 * L1, 0.0))
+        targ = L1 / (p.R_f[0] - L2)
+        midd = np.arcsin(targ / np.sqrt(1.0 + targ * targ)) - np.arctan(1.0 / targ)
+        radi = p.R_f[0] - L1 / np.cos(midd)
+        tvec = np.stack([flag * v1[..., 1], -flag * v1[..., 0]], axis=-1)
+        cent = q0 + radi[..., None] * tvec
+        a0 = np.arctan2(-tvec[..., 1], -tvec[..., 0])
+        a1 = a0 + flag * (PI / 2.0 - midd)
+        arce = cent + radi[..., None] * np.stack([np.cos(a1), np.sin(a1)], axis=-1)
+        angl_arce = np.arctan2(arce[..., 1], arce[..., 0])
+        angl_star = (np.arccos(p.r_b2 / (p.d[1] / 2.0)) - p.i_2h * t
+                     - p.toot_thic_angl[0] / 2.0)
+        angl_root = angl_star + flag * p.pitc_angl / 2.0
+        leng_circ = flag * p.R_f[0] * (angl_root - angl_arce)
+        leng_arc = flag * radi * (a1 - a0)
+        sum_leng = leng_circ + leng_arc
+        grid = np.zeros((rows.size, n_cols, 3))
+        for tj in range(n_cols):
+            leng = sum_leng * tj / (n_cols - 1)
+            on_circ = leng <= leng_circ
+            ang_c = angl_root - flag * leng / p.R_f[0]
+            u_c = p.R_f[0] * np.cos(ang_c)
+            v_c = p.R_f[0] * np.sin(ang_c)
+            la = leng - leng_circ
+            ang_a = a1 - flag * la / radi
+            u_a = cent[..., 0] + radi * np.cos(ang_a)
+            v_a = cent[..., 1] + radi * np.sin(ang_a)
+            u = np.where(on_circ, u_c, u_a)
+            v = np.where(on_circ, v_c, v_a)
+            # section (u, v) -> 3D: radius (a_h2 - v) at azimuth t, z = u
+            grid[:, tj, 0] = (p.a_h2 - v) * c
+            grid[:, tj, 1] = (p.a_h2 - v) * s
+            grid[:, tj, 2] = u
+        out.append(grid)
+    return out[0], out[1]
+
+
+def whee_uncone(p: DehwParams, pts: np.ndarray, alph3) -> np.ndarray:
+    """WHEE_UNCONE (DEHWSURF.h:1598-1606), batched: 3D -> unfolded-cone 2D."""
+    r2 = np.hypot(pts[..., 0], pts[..., 1])
+    r1 = r2 / np.cos(alph3)
+    a1 = np.arctan2(pts[..., 1], pts[..., 0]) * np.cos(alph3)
+    return np.stack([r1 * np.cos(a1), r1 * np.sin(a1)], axis=-1)
+
+
+def whee_cone(p: DehwParams, xy: np.ndarray, alph3) -> np.ndarray:
+    """WHEE_CONE (DEHWSURF.h:1608-1617), batched: unfolded-cone 2D -> 3D."""
+    r1 = np.hypot(xy[..., 0], xy[..., 1])
+    a1 = np.arctan2(xy[..., 1], xy[..., 0])
+    r2 = r1 * np.cos(alph3)
+    a2 = a1 / np.cos(alph3)
+    r3 = p.a_h2 / np.cos(alph3) - r1
+    return np.stack(
+        [r2 * np.cos(a2), r2 * np.sin(a2),
+         np.broadcast_to(r3 * np.sin(alph3), r2.shape)], axis=-1,
+    )
+
+
+def whee_root_grids(p: DehwParams, g: DehwGrid, tosu: np.ndarray,
+                    toba: np.ndarray, alph3: np.ndarray):
+    """Wheel root-transition grids wheeRtsu/wheeRtba (WHEE_ROOT +
+    ROOT_TRAN_GRID, DEHWSURF.h:1619-1701,1868-1884), in the unfolded-cone
+    plane per face-width section: root circle r_f about the cone apex ring,
+    tangent fillet arc up to the flank root.  flag 0 = flank (Rtsu),
+    1 = back (Rtba)."""
+    step = 1 << g.loca_leve
+    rows = np.arange(0, tosu.shape[0], step)
+    n_cols = (g.whee_numb[0] // 2) * (1 << g.glob_homo) + 1
+    m = tosu.shape[1]
+    a3 = alph3[rows]
+    angl_ai = a3 - np.arcsin(p.offs_R_a * np.sin(a3) / p.R_a[1])
+    R_lo = np.full_like(a3, p.R_t[1])                       # stored col 0
+    R_hi = (p.R_a[1] * np.cos(angl_ai) - p.offs_R_a) / np.cos(a3)   # tip
+
+    def prof_pt(flank, tj):
+        """Flank col tj mapped into the cone plane with the CURV radius
+        (WHEE_ROOT's own cone transform, DEHWSURF.h:1627-1646)."""
+        pt = flank[rows, tj]
+        a2 = np.arctan2(pt[..., 1], pt[..., 0])
+        r2 = np.hypot(pt[..., 0], pt[..., 1])
+        r3 = R_lo + (R_hi - R_lo) * tj / (m - 1)
+        r1 = p.a_h2 / np.cos(a3) - r3
+        a1 = r2 * a2 / r1
+        return np.stack([r1 * np.cos(a1), r1 * np.sin(a1)], axis=-1)
+
+    r_f = p.a_h2 / np.cos(a3) - (p.a_h2 - p.d_f[1] / 2.0)
+    pitc = p.pitc_angl * np.cos(a3)
+    out = []
+    for flag in (0, 1):
+        this = tosu if flag == 0 else toba
+        other = toba if flag == 0 else tosu
+        q0 = prof_pt(this, 0)
+        q1 = prof_pt(this, 1)
+        v1 = q0 - q1
+        v1 /= np.linalg.norm(v1, axis=-1, keepdims=True)
+        v2 = -q0
+        L1 = (v2 * v1).sum(-1)
+        L2 = np.sqrt(np.maximum((v2 * v2).sum(-1) - L1 * L1, 0.0))
+        targ = L1 / (r_f - L2)
+        midd = np.arcsin(targ / np.sqrt(1.0 + targ * targ)) - np.arctan(1.0 / targ)
+        radi = L1 / np.cos(midd) - r_f
+        sign = 1.0 if flag == 0 else -1.0
+        tvec = np.stack([-sign * v1[..., 1], sign * v1[..., 0]], axis=-1)
+        cent = q0 + radi[..., None] * tvec
+        a0 = np.arctan2(-tvec[..., 1], -tvec[..., 0])
+        a1a = a0 + sign * (PI / 2.0 - midd)
+        arce = cent + radi[..., None] * np.stack(
+            [np.cos(a1a), np.sin(a1a)], axis=-1
+        )
+        angl_arce = np.arctan2(arce[..., 1], arce[..., 0])
+        qo = prof_pt(other, 0)
+        angl_root = 0.5 * (np.arctan2(qo[..., 1], qo[..., 0])
+                           + np.arctan2(q0[..., 1], q0[..., 0]))
+        angl_root -= sign * pitc / 2.0
+        leng_circ = r_f * sign * (angl_arce - angl_root)
+        leng_arc = radi * sign * (a1a - a0)
+        sum_leng = leng_circ + leng_arc
+        grid = np.zeros((rows.size, n_cols, 3))
+        for tj in range(n_cols):
+            leng = sum_leng * tj / (n_cols - 1)
+            on_circ = leng <= leng_circ
+            ang_c = angl_root + sign * leng / r_f
+            xy_c = np.stack([r_f * np.cos(ang_c), r_f * np.sin(ang_c)], axis=-1)
+            la = leng - leng_circ
+            ang_a = a1a - sign * la / radi
+            xy_a = cent + radi[..., None] * np.stack(
+                [np.cos(ang_a), np.sin(ang_a)], axis=-1
+            )
+            xy = np.where(on_circ[..., None], xy_c, xy_a)
+            grid[:, tj] = whee_cone(p, xy, a3)
+        out.append(grid)
+    return out[0], out[1]
+
+
+@dataclass
+class DehwSurfaces:
+    """The 8 exact-surface grids + layout (DEHWSURF::ESTABLISH output)."""
+
+    p: DehwParams
+    g: DehwGrid
+    worm_tosu: np.ndarray
+    worm_toba: np.ndarray
+    worm_rtsu: np.ndarray
+    worm_rtba: np.ndarray
+    whee_tosu: np.ndarray
+    whee_toba: np.ndarray
+    whee_rtsu: np.ndarray
+    whee_rtba: np.ndarray
+    xi11: np.ndarray          # worm flank row coordinates
+    alph3: np.ndarray         # wheel flank row face angles (stored rows)
+    fpha: np.ndarray          # wheel zone flags (stored orientation)
+    worm_ends: int            # gridNumb[0][5]
+    worm_domains: int         # gridNumb[0][6]
+    real_star: float
+    delt_tang: float
+
+
+def build_surfaces(p: DehwParams, g: DehwGrid, cache: bool = True) -> DehwSurfaces:
+    """DEHWSURF::ESTABLISH (DEHWSURF.h:1913-1921): all 8 grids.
+
+    The grids are a pure function of (p, g); since the wheel zone solvers
+    are Newton-per-point host code, results are cached on disk keyed by the
+    parameter set (override dir with DDPCA_SURF_CACHE, disable with
+    cache=False or DDPCA_SURF_CACHE=0)."""
+    import hashlib
+    import os
+
+    n_end, n_doma, real_star, delt_tang = worm_layout(p, g)
+    cdir = os.environ.get("DDPCA_SURF_CACHE", "")
+    if cdir == "0":
+        cache = False
+    key = hashlib.sha1(
+        repr((sorted(p.__dict__.items(), key=lambda kv: kv[0]),
+              sorted(g.__dict__.items()), 3)).encode()
+    ).hexdigest()[:16]
+    path = os.path.join(
+        cdir or os.path.expanduser("~/.cache/ddpca_dehw"), f"surf_{key}.npz"
+    )
+    names = ["worm_tosu", "worm_toba", "worm_rtsu", "worm_rtba",
+             "whee_tosu", "whee_toba", "whee_rtsu", "whee_rtba",
+             "xi11", "alph3", "fpha"]
+    if cache and os.path.exists(path):
+        z = np.load(path)
+        data = {n: z[n] for n in names}
+    else:
+        worm_tosu, xi11, _ = worm_ts_grid(p, g)
+        worm_toba = worm_back_grid(p, worm_tosu)
+        worm_rtsu, worm_rtba = worm_root_grids(p, g, worm_tosu, worm_toba, xi11)
+        whee_tosu, fpha, alph3 = whee_ts_grid(p, g)
+        whee_toba = whee_toba_from_tosu(p, whee_tosu)
+        whee_rtsu, whee_rtba = whee_root_grids(p, g, whee_tosu, whee_toba, alph3)
+        data = dict(
+            worm_tosu=worm_tosu, worm_toba=worm_toba, worm_rtsu=worm_rtsu,
+            worm_rtba=worm_rtba, whee_tosu=whee_tosu, whee_toba=whee_toba,
+            whee_rtsu=whee_rtsu, whee_rtba=whee_rtba, xi11=xi11, alph3=alph3,
+            fpha=fpha,
+        )
+        if cache:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.savez_compressed(path, **data)
+    return DehwSurfaces(
+        p=p, g=g, worm_ends=n_end, worm_domains=n_doma,
+        real_star=real_star, delt_tang=delt_tang, **data,
+    )

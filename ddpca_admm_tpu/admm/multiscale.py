@@ -42,7 +42,7 @@ from ..fem.constraints import ConstrainedSystem
 from ..solvers.mg import MgHierarchy, build_hierarchy
 from ..sparse.bell import device_sparse, round_up
 from ..sparse.ell import Ell, ell_from_csr, stack_ells, to_device
-from ..utils.constants import DIRE_MAXI
+from ..utils.constants import DENSE_COARSE_MAXI, DIRE_MAXI
 from .operators import RegionOps
 
 
@@ -132,7 +132,7 @@ def _coarse_solver_parts(
     MCONTACT.h:1857-1866 / 1229-1238)."""
     Nc = G.shape[0]
     use_ddmg = coarse_solver == "ddmg" or (
-        coarse_solver == "auto" and Nc >= DIRE_MAXI
+        coarse_solver == "auto" and Nc >= DENSE_COARSE_MAXI
     )
     if use_ddmg:
         mg = _dd_hierarchy(G, systems, dole, n_macro_total)

@@ -121,6 +121,19 @@ def build_problem(
     from ..utils.precision import solve_dtype as _solve_dtype
 
     sd = _solve_dtype(dtype)
+    # Bodies untouched by contact AMR have fewer multigrid levels than the
+    # refined ones (the reference's per-domain mgpi.maxiLeve varies freely,
+    # MGPIS.h:10); the batched hierarchy needs a uniform count, so extend
+    # shallow bodies at the finest end with identity prolongations (repeat
+    # the finest operator — extra smoothing there is harmless).  Appending
+    # at the top keeps coarse level indices (dole) stable.
+    L_max = max(s.n_levels for s in systems)
+    for s in systems:
+        while s.n_levels < L_max:
+            n = s.cons_stif[-1].shape[0]
+            s.cons_stif.append(s.cons_stif[-1])
+            s.real_prol.append(sp.identity(n, format="csr"))
+            s.n_levels += 1
     mg = build_hierarchy(
         [s.cons_stif for s in systems], [s.real_prol for s in systems],
         dtype=precond_dtype or _jnp.float32,

@@ -120,22 +120,28 @@ def main(argv=None) -> None:
     )
     p.add_argument(
         "--self-locking", action="store_true",
-        help="self-locking case: mu=0.08, distCrit {55,35,15} um "
-             "(DEHW.cpp menu; DEHW.h:1619,2229-2234)",
+        help="self-locking analysis with driving wheel: mu=0.2, distCrit "
+             "{65,45,25} um (DEHW.cpp ISNO_SELO; DEHW.h:1619,2229-2234)",
     )
     p.add_argument(
-        "--tape-coef", type=float, default=0.025,
+        "--tape-coef", type=float, default=25.0,
         choices=[0.025, 0.25, 2.5, 25.0],
-        help="tangential/normal penalty ratio menu (DEHW.cpp:123-153)",
+        help="tangential/normal penalty ratio menu (DEHW.h:6, "
+             "DEHW.cpp:123-153)",
     )
-    p.add_argument("--n-u", type=int, default=8)
-    p.add_argument("--n-v", type=int, default=4)
-    p.add_argument("--glob-leve", type=int, default=1)
     p.add_argument(
-        "--adap-rounds", type=int, default=1,
-        help="ADAPTIVE_REFINE rounds (reference runs 3, DEHW.h:2229; "
-             "default 1 keeps the reduced model CPU-tractable)",
+        "--full", action="store_true",
+        help="reference-scale grid: worm_numb (4,2,2,4,4), whee_numb "
+             "(4,4,2,4,8), globInho=1 globHomo=2 locaLeve=3 "
+             "(DEHWSURF.h:185-196)",
     )
+    p.add_argument(
+        "--no-dd", action="store_true",
+        help="menu 0: ADMM without DD (1 worm + 1 wheel domain)",
+    )
+    p.add_argument("--glob-inho", type=int, default=None)
+    p.add_argument("--glob-homo", type=int, default=None)
+    p.add_argument("--loca-leve", type=int, default=None)
     p.add_argument("--outdir", default="Dehw")
 
     p = sub.add_parser("boxes", help="two-box contact demo / LAGRANGE check")
@@ -241,23 +247,41 @@ def main(argv=None) -> None:
         summary["hertz_half_width"] = a
         summary["hertz_p_max"] = p_max
     elif args.cmd == "dehw":
-        from .models.dehw import DehwConfig, build_dehw_model
+        from .models.dehw_assembly import (
+            DehwDDConfig,
+            build_dehw_assembly,
+            finalize_dehw_problem,
+        )
+        from .models.dehw_surf import DehwGrid
 
-        cfg = DehwConfig(
-            n_u=args.n_u, n_v=args.n_v, glob_leve=args.glob_leve,
-            adap_rounds=args.adap_rounds,
-            fric=0.08 if args.self_locking else 0.2,
-            dist_crit=(
-                (55.0e-6, 35.0e-6, 15.0e-6) if args.self_locking
-                else (65.0e-6, 45.0e-6, 25.0e-6)
-            ),
+        if args.full:
+            grid = DehwGrid()
+        else:
+            grid = DehwGrid(
+                worm_numb=(2, 1, 1, 2, 2), whee_numb=(2, 2, 1, 2, 2),
+                glob_inho=0, glob_homo=1, loca_leve=1,
+            )
+        for name in ("glob_inho", "glob_homo", "loca_leve"):
+            v = getattr(args, name)
+            if v is not None:
+                setattr(grid, name, v)
+        cfg = DehwDDConfig(
+            grid=grid,
+            drive="wheel" if args.self_locking else "worm",
+            dode=not args.no_dd,
             tape_coef=args.tape_coef,
         )
-        prob, meta, bodies, cfg = build_dehw_model(cfg)
+        bodies, regions, info = build_dehw_assembly(cfg)
+        prob, meta = finalize_dehw_problem(bodies, regions, cfg)
         summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
                                    max_iter=args.max_iter)
         summary["self_locking"] = args.self_locking
         summary["tape_coef"] = args.tape_coef
+        summary["n_worm"] = info["n_worm"]
+        summary["n_whee"] = info["n_whee"]
+        summary["n_contact_regions"] = sum(
+            1 for k in info["region_kinds"] if k[0] == "contact"
+        )
     elif args.cmd == "boxes":
         from .models.simple import stacked_boxes_problem
 

@@ -80,14 +80,31 @@ def make_region(
     pena_n: float,
     pena_f: float | None = None,
     max_dist: float = 1.0e12,
+    max_abs_dist: float | None = None,
 ) -> RegionOps:
-    """Search one region and assemble its operators."""
+    """Search one region and assemble its operators.
+
+    ``max_abs_dist``: point-level |gap| cutoff for *coincident* perfect
+    interfaces — unlike the reference's signed pair-level ``maxiDist``
+    (CSEARCH.h:796), it also drops spurious penetrating pairs that the mortar
+    projection can produce where an interface surface bends (see
+    models/dehw_assembly.DehwDDConfig.iface_max_dist)."""
     mm, sm = bodies[master].mesh, bodies[slave].mesh
     mast_faces = surface_faces(mm, mast_pred)
     slav_faces = surface_faces(sm, slav_pred)
     ip = region_search(
         mast_faces, slav_faces, mm, sm, cart_curv, divisions, max_dist
     )
+    if max_abs_dist is not None and ip.n:
+        keep = np.abs(ip.gap) <= max_abs_dist
+        import dataclasses
+
+        ip = dataclasses.replace(
+            ip,
+            nodes=ip.nodes[:, keep], shape=ip.shape[:, keep],
+            points=ip.points[:, keep], basis=ip.basis[keep],
+            gap=ip.gap[keep], weight=ip.weight[keep], pair=ip.pair[keep],
+        )
     reg = Region(
         ip=ip,
         bodies=(master, slave),

@@ -15,6 +15,13 @@ MAXI_INTE_NUMB = 1000
 # DOF thresholds selecting direct vs iterative solves (PREP.h:69-73).
 DIRE_MAXI = 120_000        # macroscopic / interface problems
 DIRE_MAXI_SUBD = 50_000    # subdomain problems
+# Dense-inverse cutoff for the coarse-space correction solve.  The
+# reference's DIRE_MAXI assumes a *sparse* LDLT (PREP.h:69); our device
+# stand-in is a padded dense inverse (O(N^2) memory, O(N^3) host setup), so
+# the automatic dispatch flips to the DOUBLE_M DD-multigrid path much
+# earlier.  6144 = 48 x 128-lane tiles: a 6k^2 f32 inverse is 144 MB HBM and
+# a few seconds of host LAPACK.
+DENSE_COARSE_MAXI = 6_144
 COGR_MAXI = 100_000        # plain-CG fallback (rarely reached)
 
 # Dense-solve cutoff on TPU: below this row count a padded dense Cholesky

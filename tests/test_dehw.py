@@ -1,8 +1,5 @@
-"""DEHW geometry engine checks: enveloping-theory surface invariants.
-
-Full solve convergence is a round-2 calibration item (the reference also
-just reports non-convergence after 3000 iterations, MCONTACT.h:2715-2717);
-these tests pin the math that everything else builds on."""
+"""DEHW checks: enveloping-theory surface invariants + the full
+34-worm/18-wheel assembly structure (meshes, interfaces, hub torque)."""
 
 import numpy as np
 
@@ -67,3 +64,101 @@ def test_wheel_flank_grid_in_tooth_band():
     assert rad.max() <= p.d_a[1] / 2 + 0.3 * p.m_t
     a, r = wheel_local(p, pts)
     assert np.abs(a[ok]).max() <= p.widt_angl
+
+
+# ---------------------------------------------------------------------------
+# Full assembly (models/dehw_assembly.py): structure, interfaces, loading
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from ddpca_admm_tpu.models.dehw_surf import DehwGrid, build_surfaces
+from ddpca_admm_tpu.models.dehw_assembly import (
+    DehwDDConfig,
+    build_dehw_assembly,
+)
+
+
+@pytest.fixture(scope="module")
+def small_assembly():
+    g = DehwGrid(
+        worm_numb=(2, 1, 1, 2, 2), whee_numb=(2, 2, 1, 2, 2),
+        glob_inho=0, glob_homo=1, loca_leve=1,
+    )
+    cfg = DehwDDConfig(grid=g)
+    bodies, regions, info = build_dehw_assembly(cfg)
+    return cfg, bodies, regions, info
+
+
+def test_assembly_domain_and_region_counts(small_assembly):
+    """34 worm + 18 wheel domains (DEHW.cpp:48); interface counts follow
+    DEHW.h:1598-1601: 33 worm-adjacent, 34-circNumb=26 worm turn-to-turn,
+    9 within-tooth, 8 tooth-to-tooth."""
+    cfg, bodies, regions, info = small_assembly
+    assert info["n_worm"] == 34 and info["n_whee"] == 18
+    from collections import Counter
+
+    kinds = Counter(k[0] for k in info["region_kinds"])
+    assert kinds["worm_adj"] == 33
+    assert kinds["worm_turn"] == 26
+    assert kinds["whee_midd"] == 9
+    assert kinds["whee_teeth"] == 8
+    assert kinds.get("contact", 0) >= 1, "at least one tooth pair in contact"
+    assert len(regions) == sum(kinds.values())
+
+
+def test_assembly_interfaces_coincide(small_assembly):
+    """Every perfect interface must be geometrically exact (the DD cut goes
+    through coincident node sets; mortar gaps are roundoff)."""
+    cfg, bodies, regions, info = small_assembly
+    for r, k in zip(regions, info["region_kinds"]):
+        if k[0] == "contact":
+            continue
+        ip = r.region.ip
+        assert ip.n > 0, f"empty interface {k}"
+        assert np.abs(ip.gap).max() < 1.0e-12, k
+
+
+def test_assembly_contact_gap_scale(small_assembly):
+    """Contact regions pair the conjugate flanks: initial gaps must be at
+    tooth-clearance scale, not geometry scale."""
+    cfg, bodies, regions, info = small_assembly
+    gaps = np.concatenate(
+        [
+            r.region.ip.gap
+            for r, k in zip(regions, info["region_kinds"])
+            if k[0] == "contact"
+        ]
+    )
+    assert gaps.size > 0
+    assert np.abs(gaps).max() < 1.0e-3  # < 1 mm on a 0.5 m assembly
+
+
+def test_assembly_hub_torque_equilibrium(small_assembly):
+    """SUBR_COLO_WORM integrates T/(r*A) tangential traction over the hub:
+    total hoop force * hub radius must reproduce the input torque
+    (DEHW.h:181,240-255)."""
+    cfg, bodies, regions, info = small_assembly
+    p = cfg.params
+    tot = 0.0
+    for b in bodies[: info["n_worm"]]:
+        for dof, v in b.exte_forc.items():
+            assert dof % 3 == 1  # only local hoop components loaded
+            tot += v
+    assert np.isclose(tot * p.inne_radi[0], p.inpu_torq, rtol=1e-9)
+    # wheel hub fully fixed when the worm drives (DEHW.h:325-336)
+    for b in bodies[info["n_worm"]:]:
+        assert not b.node_rota
+        assert len(b.cons_dofv) > 0
+
+
+def test_assembly_hub_frames_orthonormal(small_assembly):
+    cfg, bodies, regions, info = small_assembly
+    b = bodies[0]
+    assert b.node_rota, "worm hub nodes must carry cylindrical frames"
+    for i, R in list(b.node_rota.items())[:32]:
+        assert np.allclose(R.T @ R, np.eye(3), atol=1e-12)
+        # constrained components: local radial (0) and axial (2)
+        assert b.cons_dofv.get(3 * i + 0) == 0.0
+        assert b.cons_dofv.get(3 * i + 2) == 0.0
+        assert 3 * i + 1 not in b.cons_dofv

@@ -139,12 +139,17 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
             for co in prob.coarse:   # always a tuple of CoarseCorrection
 
                 def apply_coarse(u, co=co):
+                    # tranL/tranZ are row-compacted (R,2,r_pad,k) with a
+                    # scatter index into the coarse vector (padded rows
+                    # produce exact zeros and scatter harmlessly to row 0)
                     gf = co.forc0
-                    for gs, tl in zip(state.groups, co.tranL):
-                        gf = gf + tl.mv(gs.lam).sum(axis=(0, 1))
+                    for gs, tl, ti in zip(state.groups, co.tranL,
+                                          co.tranL_idx):
+                        gf = gf.at[ti.ravel()].add(tl.mv(gs.lam).ravel())
                     if co.tranZ is not None:
-                        for gs, tz in zip(state.groups, co.tranZ):
-                            gf = gf + tz.mv(gs.z).sum(axis=(0, 1))
+                        for gs, tz, ti in zip(state.groups, co.tranZ,
+                                              co.tranZ_idx):
+                            gf = gf.at[ti.ravel()].add(tz.mv(gs.z).ravel())
                     gf = gf + co.tranD.mv(u.reshape(-1))
                     if co.mg is not None:
                         # DOUBLE_M(_1): MG-preconditioned CG on the coarse

@@ -68,8 +68,16 @@ class CoarseCorrection(NamedTuple):
     forc0: jnp.ndarray       # (Nc,) constant part of the coarse rhs
     tranD: Ell               # (Nc, B*n_pad): maps stacked u (sign baked in)
     accu: Ell                # (B*n_pad, Nc): coarse solution -> stacked du
-    tranL: tuple[Ell, ...]   # per region group: (R,2,Nc,k) maps lam
+    # tranL/tranZ are stored ROW-COMPACTED: each (region, side) operator only
+    # touches a handful of coarse rows (its macro block in variant A, its two
+    # body blocks in variant B), so the stack is (R, 2, r_pad, k) with a
+    # companion (R, 2, r_pad) scatter-index into the Nc vector — a full
+    # (R, 2, Nc, k) stack is ~Nc/r_pad x larger and was the setup/memory
+    # bottleneck of the 52-domain DEHW assembly.
+    tranL: tuple[Ell, ...]   # per region group: (R,2,r_pad,k) maps lam
+    tranL_idx: tuple[jnp.ndarray, ...]  # per group: (R,2,r_pad) coarse rows
     tranZ: tuple[Ell, ...] | None   # per group: maps z (None for variant B)
+    tranZ_idx: tuple[jnp.ndarray, ...] | None
     mg: MgHierarchy | None = None   # DOUBLE_M(_1) DD hierarchy, or None
 
 
@@ -84,11 +92,35 @@ class _SparseAccum:
     def add(self, r0: int, c0: int, m: sp.spmatrix) -> None:
         self.parts.append((r0, c0, m.tocoo()))
 
-    def tocsr(self) -> sp.csr_matrix:
+    def tocsr(self, n_cols: int | None = None) -> sp.csr_matrix:
         rows = np.concatenate([p[2].row + p[0] for p in self.parts])
         cols = np.concatenate([p[2].col + p[1] for p in self.parts])
         vals = np.concatenate([p[2].data for p in self.parts])
-        return sp.coo_matrix((vals, (rows, cols)), shape=(self.n, self.n)).tocsr()
+        return sp.coo_matrix(
+            (vals, (rows, cols)), shape=(self.n, n_cols or self.n)
+        ).tocsr()
+
+
+def _compact_stack(mats, m_pad: int, batch_shape):
+    """Row-compact a list of tall sparse matrices that are nonzero on few
+    rows each: returns (Ell (batch..., r_pad, k), idx (batch..., r_pad)) so
+    that ``full[idx] += ell.mv(x)`` reproduces ``sum(m @ x)``.  Padded rows
+    carry no stored entries (mv gives exact 0) and scatter to row 0."""
+    rowsets = [np.unique(m.tocoo().row) for m in mats]
+    r_max = max((rs.size for rs in rowsets), default=1)
+    r_pad = int(round_up(max(r_max, 1), 8))
+    comp, idxs = [], []
+    for m, rs in zip(mats, rowsets):
+        mc = m.tocsr()[rs] if rs.size else sp.csr_matrix((0, m.shape[1]))
+        comp.append(mc)
+        idx = np.zeros(r_pad, dtype=np.int32)
+        idx[: rs.size] = rs
+        idxs.append(idx)
+    ell = device_sparse(comp, r_pad, m_pad, batch_shape=batch_shape)
+    idx_arr = jnp.asarray(
+        np.stack(idxs).reshape(tuple(batch_shape) + (r_pad,))
+    )
+    return ell, idx_arr
 
 
 def _dd_hierarchy(
@@ -247,7 +279,8 @@ def build_coarse_correction(
             forc0[base[b_self] : base[b_self + 1]] += XF[b_self].T @ gf
 
     # ---- globTran_1 (MCONTACT.h:2124-2299), per region group stacked
-    tranL_groups = []
+    # (row-compacted: each (region, side) only touches its two body blocks)
+    tranL_groups, tranL_idx_groups = [], []
     for g_i, idx in enumerate(group_region_idx):
         mats = []
         for ri in idx:
@@ -256,18 +289,20 @@ def build_coarse_correction(
                 b_self = r.region.bodies[s]
                 b_mate = r.region.bodies[1 - s]
                 mdof = r.sides[s].inte_mass.shape[0]
-                T_self = (-0.5 * (XF[b_self].T @ r.sides[s].syst_tran)).tocsr()
-                T_mate = (0.5 * (XF[b_mate].T @ r.sides[s].cross_tran)).tocsr()
-                M = sp.lil_matrix((Nc, mdof))
-                M[base[b_self] : base[b_self + 1]] = T_self
-                M[base[b_mate] : base[b_mate + 1]] += T_mate
-                mats.append(M.tocsr())
+                T_self = (-0.5 * (XF[b_self].T @ r.sides[s].syst_tran)).tocoo()
+                T_mate = (0.5 * (XF[b_mate].T @ r.sides[s].cross_tran)).tocoo()
+                rows = np.concatenate(
+                    [T_self.row + base[b_self], T_mate.row + base[b_mate]]
+                )
+                cols = np.concatenate([T_self.col, T_mate.col])
+                vals = np.concatenate([T_self.data, T_mate.data])
+                mats.append(
+                    sp.coo_matrix((vals, (rows, cols)), shape=(Nc, mdof)).tocsr()
+                )
         R = len(idx)
-        tranL_groups.append(
-            device_sparse(
-                mats, round_up(Nc, 128), m_pads[g_i], batch_shape=(R, 2)
-            )
-        )
+        ell, ridx = _compact_stack(mats, m_pads[g_i], (R, 2))
+        tranL_groups.append(ell)
+        tranL_idx_groups.append(ridx)
 
     # ---- accuProl: stacked du = accu @ sol
     accu_blocks = []
@@ -287,7 +322,9 @@ def build_coarse_correction(
         ),
         accu=device_sparse([accu], B * n_pad, Nc_pad),
         tranL=tuple(tranL_groups),
+        tranL_idx=tuple(tranL_idx_groups),
         tranZ=None,
+        tranZ_idx=None,
         mg=mg,
     )
 
@@ -368,33 +405,34 @@ def build_coarse_correction_a(
     )
 
     # ---- globTran (lam), globTran_pena (z), globTran_D (u)
+    # (row-compacted: each (region, side) only touches its macro block)
     tranL_groups, tranZ_groups = [], []
+    tranL_idx_groups, tranZ_idx_groups = [], []
+
+    def _macro_rows(ri, m):
+        m = m.tocoo()
+        return sp.coo_matrix(
+            (m.data, (m.row + macro_base[ri], m.col)), shape=(Nc, m.shape[1])
+        ).tocsr()
+
     for g_i, idx in enumerate(group_region_idx):
         matsL, matsZ = [], []
         for ri in idx:
             r = regions[ri]
-            mb0 = macro_base[ri]
             for tv in (0, 1):
-                mdof = r.sides[tv].inte_mass.shape[0]
                 tl, tz = _glob_tran(r, tv)
-                TL = sp.lil_matrix((Nc, mdof))
-                TL[mb0 : mb0 + n_macro[ri]] = fico[ri].T @ tl
-                TZ = sp.lil_matrix((Nc, mdof))
-                TZ[mb0 : mb0 + n_macro[ri]] = -(fico[ri].T @ tz)  # minus z
-                matsL.append(TL.tocsr())
-                matsZ.append(TZ.tocsr())
+                matsL.append(_macro_rows(ri, fico[ri].T @ tl))
+                matsZ.append(_macro_rows(ri, -(fico[ri].T @ tz)))  # minus z
         R = len(idx)
-
-        def stack(mats):
-            return device_sparse(
-                mats, round_up(Nc, 128), m_pads[g_i], batch_shape=(R, 2)
-            )
-
-        tranL_groups.append(stack(matsL))
-        tranZ_groups.append(stack(matsZ))
+        ellL, idxL = _compact_stack(matsL, m_pads[g_i], (R, 2))
+        ellZ, idxZ = _compact_stack(matsZ, m_pads[g_i], (R, 2))
+        tranL_groups.append(ellL)
+        tranL_idx_groups.append(idxL)
+        tranZ_groups.append(ellZ)
+        tranZ_idx_groups.append(idxZ)
 
     # tranD: + globTran_D u  (macro rows only), pre-composed with X per body
-    rows_td = sp.lil_matrix((Nc, B * n_pad))
+    td_acc = _SparseAccum(Nc)
     for ri, r in enumerate(regions):
         mb0 = macro_base[ri]
         for tv in (0, 1):
@@ -402,9 +440,8 @@ def build_coarse_correction_a(
             td = _glob_tran_d(r, tv, meshes)             # (macro x 3N_full)
             td_red = (fico[ri].T @ td @ systems[bb].expand).tocsr()
             td_red.resize((n_macro[ri], n_pad))
-            rows_td[mb0 : mb0 + n_macro[ri],
-                    bb * n_pad : (bb + 1) * n_pad] += td_red
-    tranD = rows_td.tocsr()
+            td_acc.add(mb0, bb * n_pad, td_red)
+    tranD = td_acc.tocsr(n_cols=B * n_pad)
 
     accu_blocks = []
     for v in range(B):
@@ -425,7 +462,9 @@ def build_coarse_correction_a(
         tranD=device_sparse([tranD], Nc_pad, B * n_pad),
         accu=device_sparse([accu], B * n_pad, Nc_pad),
         tranL=tuple(tranL_groups),
+        tranL_idx=tuple(tranL_idx_groups),
         tranZ=tuple(tranZ_groups),
+        tranZ_idx=tuple(tranZ_idx_groups),
         mg=mg,
     )
 

@@ -26,6 +26,7 @@ import scipy.sparse as sp
 
 from ..sparse.bell import device_sparse, round_up
 from ..sparse.ell import Ell, stack_ells, to_device
+from ..utils.constants import DENSE_COARSE_MAXI
 
 CHEB_DEGREE = 3
 CHEB_LOWER_FRACTION = 0.25   # smoothing interval [lmax/4, 1.02*lmax]
@@ -42,8 +43,15 @@ class MgLevel(NamedTuple):
 
 class MgHierarchy(NamedTuple):
     levels: tuple[MgLevel, ...]   # index 0 = coarsest (precond dtype, f32)
-    coarse_inv: jnp.ndarray       # (B, n0, n0) explicit inverses (precond dtype)
+    # (B, n0, n0) explicit coarse inverses, or None when the coarse space is
+    # too large to dense-invert (DENSE_COARSE_MAXI) — the V-cycle then ends
+    # in an aggressive Chebyshev sweep at level 0 instead of an exact solve
+    # (still a fixed SPD linear operator, so valid as a CG preconditioner)
+    coarse_inv: jnp.ndarray | None
     A_top: Ell                    # finest-level operator in f64 (Krylov matvec)
+
+
+COARSE_CHEB_DEGREE = 12  # level-0 sweep when coarse_inv is None
 
 
 def estimate_lmax(A: sp.spmatrix, iters: int = 20, seed: int = 0) -> float:
@@ -114,25 +122,32 @@ def build_hierarchy(
             )
         )
 
-    # coarse dense inverses (host scipy f64 factorization, shipped in dtype)
+    # coarse dense inverses (host scipy f64 factorization, shipped in dtype);
+    # skipped entirely when the coarse space is too large to dense-invert
+    # (the DOUBLE_M global coarse operator with many macro unknowns) — the
+    # V-cycle then ends in a Chebyshev sweep at level 0.
     n0 = levels[0]["n_pad"]
-    inv = np.zeros((B, n0, n0))
-    for b in range(B):
-        m = cons_stif[b][0].toarray()
-        nb = m.shape[0]
-        dense = np.eye(n0)
-        dense[:nb, :nb] = m
-        try:
-            if not assume_sym:
-                raise scipy.linalg.LinAlgError  # go straight to LU
-            cho = scipy.linalg.cho_factor(dense)
-            inv[b] = scipy.linalg.cho_solve(cho, np.eye(n0))
-        except scipy.linalg.LinAlgError:
-            # semi-definite coarse matrix (weakly constrained body): LU with
-            # a tiny Tikhonov shift keeps the V-cycle a valid preconditioner
-            shift = 1e-12 * np.abs(np.diag(dense)).max()
-            lu = scipy.linalg.lu_factor(dense + shift * np.eye(n0))
-            inv[b] = scipy.linalg.lu_solve(lu, np.eye(n0))
+    if n0 > DENSE_COARSE_MAXI:
+        inv = None
+    else:
+        inv = np.zeros((B, n0, n0))
+        for b in range(B):
+            m = cons_stif[b][0].toarray()
+            nb = m.shape[0]
+            dense = np.eye(n0)
+            dense[:nb, :nb] = m
+            try:
+                if not assume_sym:
+                    raise scipy.linalg.LinAlgError  # go straight to LU
+                cho = scipy.linalg.cho_factor(dense)
+                inv[b] = scipy.linalg.cho_solve(cho, np.eye(n0))
+            except scipy.linalg.LinAlgError:
+                # semi-definite coarse matrix (weakly constrained body): LU
+                # with a tiny Tikhonov shift keeps the V-cycle a valid
+                # preconditioner
+                shift = 1e-12 * np.abs(np.diag(dense)).max()
+                lu = scipy.linalg.lu_factor(dense + shift * np.eye(n0))
+                inv[b] = scipy.linalg.lu_solve(lu, np.eye(n0))
 
     dev_levels = []
     for l, lv in enumerate(levels):
@@ -170,7 +185,7 @@ def build_hierarchy(
         )
     return MgHierarchy(
         levels=tuple(dev_levels),
-        coarse_inv=jnp.asarray(inv, dtype),
+        coarse_inv=None if inv is None else jnp.asarray(inv, dtype),
         A_top=A_top,
     )
 
@@ -224,6 +239,12 @@ def vcycle(mg: MgHierarchy, b: jnp.ndarray, x: jnp.ndarray | None = None) -> jnp
 
     def cycle(l: int, bl: jnp.ndarray, xl: jnp.ndarray) -> jnp.ndarray:
         if l == 0:
+            if mg.coarse_inv is None:
+                lv0 = mg.levels[0]
+                return chebyshev_smooth(
+                    lv0.A, lv0.inv_diag, lv0.lmax, bl, xl,
+                    degree=COARSE_CHEB_DEGREE,
+                )
             return jnp.einsum(
                 "...ij,...j->...i", mg.coarse_inv, bl,
                 preferred_element_type=dtype,

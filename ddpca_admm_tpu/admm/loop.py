@@ -202,7 +202,7 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
             gamma_b = jnp.broadcast_to(
                 gamma[:, None, :], (gamma.shape[0], 2, gamma.shape[1])
             )
-            e_gamma = g.E.mv(gamma_b)                         # (R,2,m)
+            e_gamma = g.E.tmv(gamma_b, g.m_mask.shape[-1])    # (R,2,m)
             z_rhs = (bpu + g.M.mv(gs.lam) + e_gamma) * g.m_mask
             z = pcg(
                 g.Mp.mv,

@@ -51,7 +51,7 @@ class RegionGroup(NamedTuple):
     L: Ell                   # (R,2,i,kl) inpoLagr
     Pd: Ell                  # (R,2,i,kp) pemaInpo inpoDisp X
     pd_const: jnp.ndarray    # (R,2,i)
-    E: Ell                   # (R,2,m,ke) inteInpo
+    E: Ell                   # (R,2,i,ke) inteInpo TRANSPOSED (apply via tmv)
     rho_g: jnp.ndarray       # (R,i) pemaInpo @ inpoNgap
     fric: jnp.ndarray        # (R,)
     m_mask: jnp.ndarray      # (R,2,m) valid interface dof
@@ -120,6 +120,8 @@ def build_problem(
 
     from ..utils.precision import solve_dtype as _solve_dtype
 
+    from ..utils.timing import phase as _phase
+
     sd = _solve_dtype(dtype)
     # Bodies untouched by contact AMR have fewer multigrid levels than the
     # refined ones (the reference's per-domain mgpi.maxiLeve varies freely,
@@ -134,11 +136,12 @@ def build_problem(
             s.cons_stif.append(s.cons_stif[-1])
             s.real_prol.append(sp.identity(n, format="csr"))
             s.n_levels += 1
-    mg = build_hierarchy(
-        [s.cons_stif for s in systems], [s.real_prol for s in systems],
-        dtype=precond_dtype or _jnp.float32,
-        a_top_dtype=sd,
-    )
+    with _phase("MGPIS::ESTABLISH (device hierarchy)"):
+        mg = build_hierarchy(
+            [s.cons_stif for s in systems], [s.real_prol for s in systems],
+            dtype=precond_dtype or _jnp.float32,
+            a_top_dtype=sd,
+        )
     n_pad = mg.levels[-1].A.n_rows
     cons_forc = np.zeros((B, n_pad))
     gram_mats, gram_lin, gram_const = [], np.zeros((B, n_pad)), np.zeros(B)
@@ -193,7 +196,14 @@ def build_problem(
             [regs[i].sides[s].inte_mass_pena for i, s in sides2], m_pad, m_pad
         )
         L = stacked([regs[i].sides[s].inpo_lagr for i, s in sides2], i_pad, m_pad)
-        E = stacked([regs[i].sides[s].inte_inpo for i, s in sides2], m_pad, i_pad)
+        # E (inteInpo) is stored TRANSPOSED: a contact-zone interface node
+        # can touch thousands of integral points (ELL k explodes to the max
+        # over all regions), but every integral point touches exactly 4
+        # nodes, so E^T has bounded row degree; applied via Ell.tmv scatter.
+        E = device_sparse(
+            [regs[i].sides[s].inte_inpo.T.tocsr() for i, s in sides2],
+            i_pad, m_pad, batch_shape=(R, 2), force_ell=True,
+        )
 
         bp_const = np.zeros((R, 2, m_pad))
         pd_const = np.zeros((R, 2, i_pad))
@@ -245,19 +255,21 @@ def build_problem(
         m_pads = [g.bp_const.shape[-1] for g in groups]
         parts = []
         if musc_sett & 1:
-            parts.append(
-                build_coarse_correction_a(
-                    systems, regions, meshes or [], list(dole), n_pad,
-                    group_region_idx, m_pads, coarse_solver=coarse_solver,
+            with _phase("MCONTACT::MULTISCALE (coarse correction A)"):
+                parts.append(
+                    build_coarse_correction_a(
+                        systems, regions, meshes or [], list(dole), n_pad,
+                        group_region_idx, m_pads, coarse_solver=coarse_solver,
+                    )
                 )
-            )
         if musc_sett & 2:
-            parts.append(
-                build_coarse_correction(
-                    systems, regions, list(dole), n_pad, group_region_idx,
-                    m_pads, coarse_solver=coarse_solver,
+            with _phase("MCONTACT::MULTISCALE_1 (coarse correction B)"):
+                parts.append(
+                    build_coarse_correction(
+                        systems, regions, list(dole), n_pad, group_region_idx,
+                        m_pads, coarse_solver=coarse_solver,
+                    )
                 )
-            )
         coarse = tuple(parts) if parts else None
 
     prob = AdmmProblem(

@@ -29,14 +29,17 @@ def _solve_and_write(prob, meta, bodies, outdir: str, max_iter: int = 3000,
 
     from .admm.loop import contact_analysis
     from .utils import io as rio
+    from .utils import timing
 
     t0 = time.time()
     # --moni stays on the fast path: the jitted loop accumulates every
     # iteration's monitor ratios in an on-device buffer (loop.py moni_hist)
-    state = contact_analysis(
-        prob, tuple(meta.group_modes), max_iter=max_iter, record_moni=moni
-    )
-    jax.block_until_ready(state.u)
+    # DDPCA_PROFILE_DIR captures a jax.profiler trace of the whole solve
+    with timing.trace():
+        state = contact_analysis(
+            prob, tuple(meta.group_modes), max_iter=max_iter, record_moni=moni
+        )
+        jax.block_until_ready(state.u)
     solve_s = time.time() - t0
     if moni:
         hist = np.asarray(state.moni_hist)[: int(state.it)]
@@ -65,6 +68,7 @@ def _solve_and_write(prob, meta, bodies, outdir: str, max_iter: int = 3000,
         "converged": bool(state.converged),
         "inner_cg_iterations": int(state.inner_iters),
         "solve_seconds": round(solve_s, 3),
+        "setup_phases": {t: round(s, 3) for t, s in timing.reset()},
         "outdir": outdir,
     }
 

@@ -37,6 +37,7 @@ from ..contact.search import surface_faces
 from ..mesh.curveds import CurvedSurface, SparseSurface
 from ..mesh.hexmesh import HexMesh
 from ..utils.quadrature import QUAD_QUAD, surface_jacobian
+from ..utils.timing import phase
 from .dehw_surf import (
     PI,
     DehwGrid,
@@ -635,12 +636,14 @@ def build_dehw_assembly(cfg: DehwDDConfig | None = None, surfs=None):
     if surfs is None:
         surfs = build_surfaces(p, g)
 
-    worm_meshes, wode_aucu, wode_auan = build_worm_domains(
-        surfs, cfg.cent_erro, cfg.anal_angl, dode=cfg.dode
-    )
-    whee_meshes, whde, whde_midd = build_whee_domains(
-        surfs, cfg.anal_angl, cfg.cent_erro, dode=cfg.dode
-    )
+    with phase("DEHW::WORM_MESH"):
+        worm_meshes, wode_aucu, wode_auan = build_worm_domains(
+            surfs, cfg.cent_erro, cfg.anal_angl, dode=cfg.dode
+        )
+    with phase("DEHW::WHEE_MESH"):
+        whee_meshes, whde, whde_midd = build_whee_domains(
+            surfs, cfg.anal_angl, cfg.cent_erro, dode=cfg.dode
+        )
     n_worm = len(worm_meshes)
     bodies = [Body(mesh=m, e_mod=cfg.e_worm) for m in worm_meshes] + [
         Body(mesh=m, e_mod=cfg.e_whee) for m in whee_meshes
@@ -680,6 +683,7 @@ def build_dehw_assembly(cfg: DehwDDConfig | None = None, surfs=None):
     # ---- shrinking-criterion AMR (DEHW.h:1551-1571)
     gigh = g.glob_inho + g.glob_homo
     isno_refi: list[list[bool]] = []
+    _amr = phase("DEHW::CONT_INTE_DD local mesh refinement"); _amr.__enter__()
     for tt in range(4):
         flags = [False] * len(pairs[tt])
         for tr in range(g.loca_leve):
@@ -697,6 +701,7 @@ def build_dehw_assembly(cfg: DehwDDConfig | None = None, surfs=None):
                     buck_divisions=buck, cart_curv=cart_curv,
                 )
         isno_refi.append(flags)
+    _amr.__exit__(None, None, None)
     if g.loca_leve == 0:
         # reduced configs without AMR keep every candidate pair
         isno_refi = [[True] * len(pairs[tt]) for tt in range(4)]

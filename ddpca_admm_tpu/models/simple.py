@@ -52,19 +52,22 @@ def assemble_bodies(
     (MCONTACT.h:812-825).  ``include_penalty=False`` gives the penalty-free
     stiffness used by the LAGRANGE dual-mortar solver (MCONTACT.h:2850-2860
     rebuilds without systMass)."""
+    from ..utils.timing import phase
+
     systems = []
-    for tv, b in enumerate(bodies):
-        if not b.mesh.scal_prol:
-            b.mesh.transfer()
-        A = assemble_stiffness(b.mesh, b.e_mod, b.nu)
-        if include_penalty:
-            for r in regions:
-                for s in (0, 1):
-                    if r.region.bodies[s] == tv:
-                        A = (A + r.sides[s].syst_mass).tocsr()
-        systems.append(
-            constrain(b.mesh, A, b.cons_dofv, b.exte_forc, b.node_rota)
-        )
+    with phase("MCONTACT::ESTABLISH bodies (TRANSFER+STIF_MATR+CONSTRAINT)"):
+        for tv, b in enumerate(bodies):
+            if not b.mesh.scal_prol:
+                b.mesh.transfer()
+            A = assemble_stiffness(b.mesh, b.e_mod, b.nu)
+            if include_penalty:
+                for r in regions:
+                    for s in (0, 1):
+                        if r.region.bodies[s] == tv:
+                            A = (A + r.sides[s].syst_mass).tocsr()
+            systems.append(
+                constrain(b.mesh, A, b.cons_dofv, b.exte_forc, b.node_rota)
+            )
     return systems
 
 

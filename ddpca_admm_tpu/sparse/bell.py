@@ -187,16 +187,18 @@ def device_sparse(
     n_cols: int | None = None,
     dtype=None,
     batch_shape: tuple[int, ...] | None = None,
+    force_ell: bool = False,
 ):
     """Format-dispatching device sparse builder: BlockEll on TPU, ELL on CPU
     (use_block_format policy).  Row/column counts are always padded to
     (RB, CB)=(8, 128) multiples so the two formats produce identically
-    shaped vectors."""
+    shaped vectors.  ``force_ell`` keeps plain ELL even on TPU (operators
+    applied by transpose-scatter, Ell.tmv)."""
     from .ell import Ell, stack_ells, to_device
 
     n_rows = round_up(n_rows or max(m.shape[0] for m in mats), RB)
     n_cols = round_up(n_cols or max(m.shape[1] for m in mats), CB)
-    if use_block_format():
+    if use_block_format() and not force_ell:
         return bell_from_csr_list(
             mats, n_rows, n_cols, dtype=np.dtype(dtype or np.float64),
             batch_shape=batch_shape,

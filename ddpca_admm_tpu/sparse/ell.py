@@ -57,6 +57,32 @@ class Ell(NamedTuple):
         )
         return out.reshape(batch + (n_rows,))
 
+    def tmv(self, x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
+        """y = A.T @ x via scatter-add: each stored entry (r, cols[r,k])
+        contributes vals[r,k]*x[r] into y[cols[r,k]].  Padded entries carry
+        value 0 and scatter harmlessly into slot 0.  The memory-sane way to
+        apply operators whose *transpose* has bounded row degree (e.g.
+        inteInpo: every integral point touches exactly 4 nodes, while a node
+        may touch thousands of points)."""
+        n_out = n_out or self.n_cols
+        batch = jnp.broadcast_shapes(self.vals.shape[:-2], x.shape[:-1])
+        n_rows, k = self.vals.shape[-2:]
+        vals = jnp.broadcast_to(self.vals, batch + (n_rows, k))
+        cols = jnp.broadcast_to(self.cols, batch + (n_rows, k))
+        xb = jnp.broadcast_to(x, batch + (n_rows,))
+        contrib = vals * xb[..., :, None]
+        if not batch:
+            return jnp.zeros(n_out, contrib.dtype).at[cols.ravel()].add(
+                contrib.ravel()
+            )
+        flat = int(np.prod(batch))
+        out = jax.vmap(
+            lambda c, cc: jnp.zeros(n_out, c.dtype).at[cc.ravel()].add(
+                c.ravel()
+            )
+        )(contrib.reshape(flat, n_rows * k), cols.reshape(flat, n_rows * k))
+        return out.reshape(batch + (n_out,))
+
 
 def ell_from_csr(A: sp.spmatrix, k: int | None = None, n_rows: int | None = None) -> Ell:
     """Convert scipy sparse to ELL (NumPy arrays; cheap to ship to device).

@@ -69,6 +69,7 @@ class LagrangeResult:
     lagr: list[np.ndarray]         # per region (3m,) multipliers (node frame)
     status: list[np.ndarray]       # per region (m,) final active states
     iters: int
+    nm_nodes: list[np.ndarray] = None  # per region (m,) non-mortar node ids
 
 
 def solve_lagrange(
@@ -386,7 +387,8 @@ def solve_lagrange(
                 status[ri][j] = new
         if changes == 0:
             break
-    return LagrangeResult(u=u_out, lagr=lagr, status=status, iters=it)
+    return LagrangeResult(u=u_out, lagr=lagr, status=status, iters=it,
+                          nm_nodes=nm_nodes)
 
 
 def _restricted_gmg_precond(Khat, systems, base, rest):

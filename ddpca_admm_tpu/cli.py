@@ -63,6 +63,16 @@ def _solve_and_write(prob, meta, bodies, outdir: str, max_iter: int = 3000,
             gamma = np.asarray(gs.gamma[slot])[:ndof]
             rio.write_contact(outdir, gamma, ip.basis, mode == "scalar", ri)
             rio.write_integral_points(outdir, ip, ri)
+            rio.write_segments(outdir, ip, ri)
+            for side in (0, 1):
+                mr = meta.regions[ri].sides[side]
+                mdof = mr.inte_mass.shape[0]
+                rio.write_aula(
+                    outdir,
+                    np.asarray(gs.z[slot, side])[:mdof],
+                    np.asarray(gs.lam[slot, side])[:mdof],
+                    mode == "scalar", ri, side,
+                )
     return {
         "iterations": int(state.it),
         "converged": bool(state.converged),
@@ -307,6 +317,11 @@ def main(argv=None) -> None:
                 full = sysm.full_displacement(res.u[b])
                 rio.write_mesh(args.outdir, body.mesh, b)
                 rio.write_displacement(args.outdir, full, b)
+            for ri, r in enumerate(meta.regions):
+                rio.write_lagrange(
+                    args.outdir, res.lagr[ri], res.status[ri],
+                    res.nm_nodes[ri], float(r.region.fric), ri,
+                )
             summary = {
                 "solver": "lagrange",
                 "newton_iterations": res.iters,

@@ -153,3 +153,58 @@ def write_moni(outdir: str, history: np.ndarray) -> None:
     history = np.atleast_2d(np.asarray(history))
     rows = np.column_stack([np.arange(len(history), dtype=float), history])
     _fmt(os.path.join(outdir, "resuMoni.txt"), rows)
+
+
+def write_aula(outdir: str, z: np.ndarray, lam: np.ndarray, scalar: bool,
+               ident: int, side: int) -> None:
+    """OUTPUT_AULA (MCONTACT.h:125-155): per interface node, the ADMM
+    auxiliary z components then the multiplier lambda components (1 each in
+    scalar mode, 3 each in vector mode)."""
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, f"resuAula_{ident}_{side}.txt")
+    if scalar:
+        arr = np.stack([z, lam], axis=1)
+    else:
+        arr = np.concatenate([z.reshape(-1, 3), lam.reshape(-1, 3)], axis=1)
+    _fmt(path, arr)
+
+
+def write_segments(outdir: str, ip, ident: int) -> None:
+    """OUTPUT_COSE (CSEARCH.h:178-203): the 4 node ids of every master /
+    slave face participating in the region (derived from the integral-point
+    records: unique face node-quadruples per side, in first-seen order)."""
+    os.makedirs(outdir, exist_ok=True)
+    for side in (0, 1):
+        nodes = np.asarray(ip.nodes[side])
+        if nodes.size:
+            _, first = np.unique(nodes, axis=0, return_index=True)
+            faces = nodes[np.sort(first)]
+        else:
+            faces = nodes.reshape(0, 4)
+        with open(
+            os.path.join(outdir, f"resuSegm_{ident}_{side}.txt"), "w"
+        ) as f:
+            for row in faces:
+                f.write("".join(f"{int(v):10d}" for v in row) + "\n")
+
+
+def write_lagrange(outdir: str, lagr: np.ndarray, status: np.ndarray,
+                   node_ids: np.ndarray, fric: float, ident: int) -> None:
+    """resuLagr_<ts>.txt (MCONTACT.h:3613-3636): per non-mortar node — node
+    id, active state (0/1/2), normal multiplier, tangential multipliers
+    (sliding nodes report mu*lambda_n, 0 like the reference)."""
+    os.makedirs(outdir, exist_ok=True)
+    lagr = lagr.reshape(-1, 3)
+    with open(os.path.join(outdir, f"resuLagr_{ident}.txt"), "w") as f:
+        for k, nid in enumerate(node_ids):
+            st = int(status[k])
+            ln = lagr[k, 0]
+            if st != 1:
+                t1, t2 = lagr[k, 1], lagr[k, 2]
+            else:
+                t1, t2 = fric * ln, 0.0
+            f.write(
+                f"{int(nid):10d}{st:10d}"
+                + "".join(f"{v:30.20e}" for v in (ln, t1, t2))
+                + "\n"
+            )

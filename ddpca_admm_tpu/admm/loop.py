@@ -120,15 +120,13 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
 
     def step(state: AdmmState) -> AdmmState:
         # ---------------------------------------------------- x-update rhs
-        rhs = prob.cons_forc
+        rhs_flat = prob.cons_forc.reshape(-1)
         for g, gs in zip(prob.groups, state.groups):
-            contrib = g.TtP.mv(gs.z) - g.Tt.mv(gs.lam)       # (R,2,n)
-            flat = contrib.reshape(-1, contrib.shape[-1])
-            idx = g.body_idx.reshape(-1)
-            rhs = rhs + jax.ops.segment_sum(
-                flat, idx, num_segments=rhs.shape[0]
-            )
-        rhs = rhs * prob.u_mask
+            # row-compacted TtP/Tt: scatter each (region, side)'s body-DOF
+            # contributions into the stacked rhs (offsets baked into t_idx)
+            contrib = g.TtP.mv(gs.z) - g.Tt.mv(gs.lam)       # (R,2,r)
+            rhs_flat = rhs_flat.at[g.t_idx.ravel()].add(contrib.ravel())
+        rhs = rhs_flat.reshape(prob.cons_forc.shape) * prob.u_mask
         u, inner_it = body_solve(rhs, state.u)
 
         # ------------------ coarse-space corrections (MULTISCALE variants A

@@ -27,7 +27,7 @@ import scipy.sparse as sp
 
 from ..fem.constraints import ConstrainedSystem
 from ..solvers.mg import MgHierarchy, build_hierarchy
-from ..sparse.bell import device_sparse, round_up
+from ..sparse.bell import compact_device_sparse, device_sparse, round_up
 from ..sparse.ell import Ell, stack_ells, to_device
 from .operators import RegionOps
 
@@ -40,8 +40,9 @@ class RegionGroup(NamedTuple):
     """
 
     body_idx: jnp.ndarray    # (R,2) int32
-    TtP: Ell                 # (R,2,n,kt): X^T systTran_pena
-    Tt: Ell                  # (R,2,n,kt): X^T systTran
+    TtP: Ell                 # (R,2,r,kt): X^T systTran_pena, row-compacted
+    Tt: Ell                  # (R,2,r,kt): X^T systTran, row-compacted
+    t_idx: jnp.ndarray       # (R,2,r): scatter rows into stacked (B*n) rhs
     Bp: Ell                  # (R,2,m,kb): systTran_pena^T X
     bp_const: jnp.ndarray    # (R,2,m)
     M: Ell                   # (R,2,m,km) inteMass
@@ -187,8 +188,17 @@ def build_problem(
             for i, r in enumerate(regs) for s in (0, 1)
         }
         sides2 = [(i, s) for i in range(R) for s in (0, 1)]
-        TtP = stacked([comp[k][0] for k in sides2], n_pad, m_pad)
-        Tt = stacked([comp[k][1] for k in sides2], n_pad, m_pad)
+        # TtP/Tt (X^T systTran(_pena)) are nonzero only on body DOFs near
+        # the interface: store them row-compacted with a shared scatter
+        # index into the stacked (B, n) rhs (body offset baked in) instead
+        # of (R, 2, n_pad, k) stacks that scale with the BODY dimension.
+        t_offsets = [
+            regs[i].region.bodies[s] * n_pad for i, s in sides2
+        ]
+        (TtP, Tt), t_idx = compact_device_sparse(
+            [[comp[k][0] for k in sides2], [comp[k][1] for k in sides2]],
+            m_pad, (R, 2), row_offsets=t_offsets,
+        )
         Bp = stacked([comp[k][2] for k in sides2], m_pad, n_pad)
         Pd = stacked([comp[k][4] for k in sides2], i_pad, n_pad)
         M = stacked([regs[i].sides[s].inte_mass for i, s in sides2], m_pad, m_pad)
@@ -228,6 +238,7 @@ def build_problem(
                 body_idx=jnp.asarray(body_idx),
                 TtP=TtP,
                 Tt=Tt,
+                t_idx=t_idx,
                 Bp=Bp,
                 bp_const=jnp.asarray(bp_const),
                 M=M,

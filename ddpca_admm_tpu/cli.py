@@ -101,6 +101,11 @@ def main(argv=None) -> None:
         help="BLOCK_1 variant: no guard slabs, subdomain corners on the "
              "contact interfaces (examples/BLOCK_1.h)",
     )
+    p.add_argument(
+        "--dole", type=int, default=None,
+        help="doleMcsc coarse level (reference: 1, BLOCK.cpp:69-71; "
+             "default 1 when glob_leve>=1 else 0)",
+    )
     p.add_argument("--outdir", default="Block")
 
     p = sub.add_parser("torsion", help="hollow cylinder under torque (TORSION)")
@@ -211,7 +216,9 @@ def main(argv=None) -> None:
             guard_slabs=not args.cross_corner,
         )
         model = build_block_model(cfg)
-        dole_lv = 1 if args.coarse_solver == "ddmg" and args.glob_leve >= 1 else 0
+        dole_lv = args.dole if args.dole is not None else (
+            1 if args.glob_leve >= 1 else 0
+        )
         prob, meta = build_problem(
             model.meta.systems, model.regions,
             dole=[dole_lv] * len(model.meta.systems),

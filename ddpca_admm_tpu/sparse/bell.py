@@ -213,3 +213,52 @@ def device_sparse(
     elif len(mats) == 1:
         e = Ell(vals=e.vals[0], cols=e.cols[0], n_cols=e.n_cols)
     return to_device(e, dtype)
+
+
+def compact_device_sparse(
+    mats_groups: "Sequence[Sequence[sp.spmatrix]]",
+    n_cols: int,
+    batch_shape: tuple[int, ...],
+    row_offsets: "Sequence[int] | None" = None,
+    idx_dtype=np.int32,
+):
+    """Row-compact stacking for tall operators that are nonzero on few rows.
+
+    ``mats_groups``: one or more lists of equally-indexed sparse matrices
+    (e.g. [TtP_list, Tt_list]) sharing row sparsity; the union row set per
+    slot is used for all groups so they share one scatter index.
+    ``row_offsets``: optional per-slot offset added to the stored row ids
+    (e.g. body*n_pad for scatter into a stacked (B, n) vector).
+
+    Returns ([Ell, ...] one per group — (batch..., r_pad, k), idx
+    (batch..., r_pad)); padded rows carry no entries (mv -> exact 0) and
+    scatter into slot 0 harmlessly.  Applied as
+    ``full.at[idx].add(ell.mv(x))``.
+    """
+    n_slots = len(mats_groups[0])
+    rowsets = []
+    for j in range(n_slots):
+        rs = np.unique(
+            np.concatenate(
+                [g[j].tocoo().row for g in mats_groups]
+                + [np.zeros(0, dtype=np.int64)]
+            )
+        )
+        rowsets.append(rs)
+    r_pad = int(round_up(max([rs.size for rs in rowsets] + [1]), 8))
+    idxs = np.zeros((n_slots, r_pad), dtype=idx_dtype)
+    for j, rs in enumerate(rowsets):
+        off = 0 if row_offsets is None else int(row_offsets[j])
+        idxs[j, : rs.size] = rs + off
+    ells = []
+    for g in mats_groups:
+        comp = [
+            m.tocsr()[rs] if rs.size else sp.csr_matrix((0, m.shape[1]))
+            for m, rs in zip(g, rowsets)
+        ]
+        ells.append(
+            device_sparse(comp, r_pad, n_cols, batch_shape=batch_shape)
+        )
+    import jax.numpy as _jnp
+
+    return ells, _jnp.asarray(idxs.reshape(tuple(batch_shape) + (r_pad,)))

@@ -334,15 +334,18 @@ def contact_analysis(
     max_iter: int = ADMM_MAX_ITER,
     inner_maxiter: int = 500,
     record_moni: bool = False,
+    state0: AdmmState | None = None,
 ) -> AdmmState:
     """Run the full ADMM loop to convergence (or max_iter).
 
     ``record_moni=True`` sizes the on-device history buffer to ``max_iter``
     rows so every iteration's monitor ratios survive the loop (resuMoni.txt
     parity, MCONTACT.h:2742, without leaving the fast path); rows past
-    convergence stay +inf."""
+    convergence stay +inf.  ``state0`` lets callers pass a pre-sharded or
+    checkpointed initial state."""
     step = make_admm_step(prob, modes, inner_maxiter=inner_maxiter)
-    state0 = init_state(prob, hist_rows=max_iter if record_moni else 1)
+    if state0 is None:
+        state0 = init_state(prob, hist_rows=max_iter if record_moni else 1)
 
     def cond(state: AdmmState):
         return jnp.logical_and(state.it < max_iter, ~state.converged)

@@ -195,23 +195,21 @@ def _coarse_restriction(sysm: ConstrainedSystem, dole: int) -> sp.csr_matrix:
     return F
 
 
-def build_coarse_correction(
+def glob_coup_1(
     systems: Sequence[ConstrainedSystem],
     regions: Sequence[RegionOps],
     dole: Sequence[int],
-    n_pad: int,
-    group_region_idx: Sequence[Sequence[int]],
-    m_pads: Sequence[int],
-    coarse_solver: str = "auto",
-) -> CoarseCorrection:
+):
+    """globCoup_1 assembly (MCONTACT.h:1674-1856): the interface-eliminated
+    global coarse operator.  Returns (G_sp, F, base, XF) — shared by the
+    coarse correction and the APPS eigen-analysis (MCONTACT.h:2350-2365 runs
+    Spectra on this same matrix)."""
     B = len(systems)
     F = [_coarse_restriction(s, dole[v]) for v, s in enumerate(systems)]
     nc = [F[v].shape[1] for v in range(B)]
     base = np.concatenate([[0], np.cumsum(nc)])
     Nc = int(base[-1])
     XF = [(systems[v].expand @ F[v]).tocsr() for v in range(B)]  # (3N x nc)
-
-    # ---- globCoup_1 (MCONTACT.h:1674-1856), sparse accumulation
     Gacc = _SparseAccum(Nc)
     for v in range(B):
         Gacc.add(base[v], base[v], F[v].T @ systems[v].cons_stif[-1] @ F[v])
@@ -225,7 +223,51 @@ def build_coarse_correction(
             C = r.sides[s].cross_mass
             Gacc.add(base[b_self], base[b_self], -0.5 * (U_self.T @ S @ U_self))
             Gacc.add(base[b_self], base[b_mate], -0.5 * (U_self.T @ C @ U_mate))
-    G_sp = Gacc.tocsr()
+    return Gacc.tocsr(), F, base, XF
+
+
+def glob_forc_1(systems, regions, F, base, XF) -> np.ndarray:
+    """globForc_1 (MCONTACT.h:2057-2122): coarse restriction of the body
+    loads plus the initial-gap penalty forces."""
+    Nc = int(base[-1])
+    forc0 = np.zeros(Nc)
+    for v in range(len(systems)):
+        forc0[base[v] : base[v + 1]] = F[v].T @ systems[v].cons_forc
+    for r in regions:
+        ip = r.region.ip
+        w = ip.weight
+        nrm = ip.basis[:, 0, :]
+        for s in (0, 1):
+            b_self = r.region.bodies[s]
+            sgn = 0.5 if s == 0 else -0.5
+            # full-space gap force: sgn * w * rho_n * N^T n^T g  (normal only)
+            gf = np.zeros(3 * (systems[b_self].expand.shape[0] // 3))
+            contrib = (
+                sgn
+                * r.region.pena_n
+                * (w * ip.gap)[:, None, None]
+                * ip.shape[s][:, :, None]
+                * nrm[:, None, :]
+            )
+            dofs = 3 * ip.nodes[s][:, :, None] + np.arange(3)
+            np.add.at(gf, dofs.ravel(), contrib.ravel())
+            forc0[base[b_self] : base[b_self + 1]] += XF[b_self].T @ gf
+    return forc0
+
+
+def build_coarse_correction(
+    systems: Sequence[ConstrainedSystem],
+    regions: Sequence[RegionOps],
+    dole: Sequence[int],
+    n_pad: int,
+    group_region_idx: Sequence[Sequence[int]],
+    m_pads: Sequence[int],
+    coarse_solver: str = "auto",
+) -> CoarseCorrection:
+    B = len(systems)
+    G_sp, F, base, XF = glob_coup_1(systems, regions, dole)
+    nc = [F[v].shape[1] for v in range(B)]
+    Nc = int(base[-1])
     inv, mat, mg = _coarse_solver_parts(G_sp, systems, dole, coarse_solver)
 
     # ---- globTran_D_1 (MCONTACT.h:1868-2055), acting on stacked reduced u
@@ -255,28 +297,7 @@ def build_coarse_correction(
     )
 
     # ---- globForc_1 (MCONTACT.h:2057-2122)
-    forc0 = np.zeros(Nc)
-    for v in range(B):
-        forc0[base[v] : base[v + 1]] = F[v].T @ systems[v].cons_forc
-    for r in regions:
-        ip = r.region.ip
-        w = ip.weight
-        nrm = ip.basis[:, 0, :]
-        for s in (0, 1):
-            b_self = r.region.bodies[s]
-            sgn = 0.5 if s == 0 else -0.5
-            # full-space gap force: sgn * w * rho_n * N^T n^T g  (normal only)
-            gf = np.zeros(3 * (systems[b_self].expand.shape[0] // 3))
-            contrib = (
-                sgn
-                * r.region.pena_n
-                * (w * ip.gap)[:, None, None]
-                * ip.shape[s][:, :, None]
-                * nrm[:, None, :]
-            )
-            dofs = 3 * ip.nodes[s][:, :, None] + np.arange(3)
-            np.add.at(gf, dofs.ravel(), contrib.ravel())
-            forc0[base[b_self] : base[b_self + 1]] += XF[b_self].T @ gf
+    forc0 = glob_forc_1(systems, regions, F, base, XF)
 
     # ---- globTran_1 (MCONTACT.h:2124-2299), per region group stacked
     # (row-compacted: each (region, side) only touches its two body blocks)

@@ -161,6 +161,12 @@ def main(argv=None) -> None:
     p.add_argument("--glob-inho", type=int, default=None)
     p.add_argument("--glob-homo", type=int, default=None)
     p.add_argument("--loca-leve", type=int, default=None)
+    p.add_argument(
+        "--apps", choices=["global", "coarse"], default=None,
+        help="eigen analysis instead of contact solve (DEHW.cpp:110-121: "
+             "1 = global problem, 2 = global coarse problem); writes "
+             "resuFreq.txt + per-body mode shapes",
+    )
     p.add_argument("--outdir", default="Dehw")
 
     p = sub.add_parser("boxes", help="two-box contact demo / LAGRANGE check")
@@ -293,6 +299,32 @@ def main(argv=None) -> None:
             tape_coef=args.tape_coef,
         )
         bodies, regions, info = build_dehw_assembly(cfg)
+        if args.apps:
+            # APPS eigen-analysis path (SOLVE appsCont <= 0,
+            # DEHW.h:2261-2272): global problem uses the finest level as the
+            # "coarse" space, coarse uses doleMcsc
+            import numpy as np
+
+            from .admm.eigen import run_apps, write_freq, write_modes
+            from .models.simple import assemble_bodies
+
+            systems = assemble_bodies(bodies, regions)
+            if args.apps == "global":
+                dole = [s.n_levels - 1 for s in systems]
+            else:
+                dole = [cfg.dole] * len(systems)
+            res = run_apps(systems, regions, dole)
+            write_freq(args.outdir, res.vals, res.corr)
+            write_modes(args.outdir, res, bodies)
+            summary = {
+                "solver": "apps",
+                "frequencies": [float(v) for v in res.vals],
+                "correlations": [float(c) for c in res.corr],
+                "outdir": args.outdir,
+            }
+            summary["total_seconds"] = round(time.time() - t0, 3)
+            print(json.dumps(summary))
+            return
         prob, meta = finalize_dehw_problem(bodies, regions, cfg)
         summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
                                    max_iter=args.max_iter)

@@ -58,10 +58,11 @@ def main() -> None:
     # honest metric: ADMM iterations completed per second over an entire
     # solve (inner-solve cost varies across the run; converged-state step
     # timing would be degenerate).
-    st = contact_analysis(prob, modes, max_iter=3000)
+    chunk = int(os.environ.get("DDPCA_BENCH_CHUNK", "200"))
+    st = contact_analysis(prob, modes, max_iter=3000, chunk=chunk)
     jax.block_until_ready(st.u)
     t0 = time.perf_counter()
-    st = contact_analysis(prob, modes, max_iter=3000)
+    st = contact_analysis(prob, modes, max_iter=3000, chunk=chunk)
     jax.block_until_ready(st.u)
     dt = time.perf_counter() - t0
     assert bool(st.converged), (

@@ -324,10 +324,6 @@ def contact_analysis_stepwise(
     return state
 
 
-@partial(
-    jax.jit,
-    static_argnames=("modes", "max_iter", "inner_maxiter", "record_moni"),
-)
 def contact_analysis(
     prob: AdmmProblem,
     modes: tuple[str, ...],
@@ -335,6 +331,7 @@ def contact_analysis(
     inner_maxiter: int = 500,
     record_moni: bool = False,
     state0: AdmmState | None = None,
+    chunk: int | None = None,
 ) -> AdmmState:
     """Run the full ADMM loop to convergence (or max_iter).
 
@@ -343,9 +340,39 @@ def contact_analysis(
     parity, MCONTACT.h:2742, without leaving the fast path); rows past
     convergence stay +inf.  ``state0`` lets callers pass a pre-sharded or
     checkpointed initial state."""
-    step = make_admm_step(prob, modes, inner_maxiter=inner_maxiter)
     if state0 is None:
         state0 = init_state(prob, hist_rows=max_iter if record_moni else 1)
+    if chunk is None or chunk >= max_iter:
+        return _contact_analysis_jit(
+            prob, modes, max_iter, inner_maxiter, state0
+        )
+
+    step = make_admm_step(prob, modes, inner_maxiter=inner_maxiter)
+    # chunked execution: at most ``chunk`` iterations per device call, with
+    # a host-side convergence check between calls.  Bounds the duration of a
+    # single XLA execution — long monolithic while_loops can exceed relay /
+    # RPC deadlines on remote-attached TPUs — at the cost of one scalar
+    # readback per chunk (negligible: chunks are hundreds of iterations).
+    @jax.jit
+    def run_chunk(state: AdmmState, bound):
+        def cond(s: AdmmState):
+            return jnp.logical_and(s.it < bound, ~s.converged)
+
+        return jax.lax.while_loop(cond, step, state)
+
+    state = state0
+    while True:
+        bound = jnp.minimum(state.it + chunk, max_iter)
+        state = run_chunk(state, bound)
+        if bool(state.converged) or int(state.it) >= max_iter:
+            return state
+
+
+@partial(
+    jax.jit, static_argnames=("modes", "max_iter", "inner_maxiter")
+)
+def _contact_analysis_jit(prob, modes, max_iter, inner_maxiter, state0):
+    step = make_admm_step(prob, modes, inner_maxiter=inner_maxiter)
 
     def cond(state: AdmmState):
         return jnp.logical_and(state.it < max_iter, ~state.converged)

@@ -34,6 +34,9 @@ import scipy.sparse as sp
 
 RB = 8     # row-block (sublane tile)
 CB = 128   # column-block (lane tile)
+# minimum nnz / stored-tile-entries ratio for BlockEll to beat ELL: below
+# this the dense tiles are mostly padding (memory and bandwidth waste)
+BELL_MIN_FILL = 0.20
 
 
 def round_up(x: int, m: int) -> int:
@@ -199,10 +202,20 @@ def device_sparse(
     n_rows = round_up(n_rows or max(m.shape[0] for m in mats), RB)
     n_cols = round_up(n_cols or max(m.shape[1] for m in mats), CB)
     if use_block_format() and not force_ell:
-        return bell_from_csr_list(
-            mats, n_rows, n_cols, dtype=np.dtype(dtype or np.float64),
-            batch_shape=batch_shape,
-        )
+        # BlockEll stores full (8,128) tiles: a win only when RCM actually
+        # clusters the couplings densely.  3-D FEM bands grow like n^(2/3),
+        # so at scale the tile fill collapses (measured 5% at the 180k-DOF
+        # BLOCK -> 20x the ELL bytes and device OOM) — fall back to ELL
+        # whenever the tiles would be mostly padding.
+        S = _max_slots(mats, n_cols)
+        nnz = sum(m.nnz for m in mats)
+        tile_bytes = len(mats) * (n_rows // RB) * S * RB * CB
+        fill = nnz / max(tile_bytes, 1)
+        if fill >= BELL_MIN_FILL:
+            return bell_from_csr_list(
+                mats, n_rows, n_cols, dtype=np.dtype(dtype or np.float64),
+                batch_shape=batch_shape,
+            )
     e = stack_ells(mats, n_rows=n_rows, n_cols=n_cols)
     if batch_shape is not None:
         e = Ell(

@@ -347,25 +347,24 @@ def contact_analysis(
             prob, modes, max_iter, inner_maxiter, state0
         )
 
-    step = make_admm_step(prob, modes, inner_maxiter=inner_maxiter)
-    # chunked execution: at most ``chunk`` iterations per device call, with
-    # a host-side convergence check between calls.  Bounds the duration of a
-    # single XLA execution — long monolithic while_loops can exceed relay /
-    # RPC deadlines on remote-attached TPUs — at the cost of one scalar
-    # readback per chunk (negligible: chunks are hundreds of iterations).
-    @jax.jit
-    def run_chunk(state: AdmmState, bound):
-        def cond(s: AdmmState):
-            return jnp.logical_and(s.it < bound, ~s.converged)
-
-        return jax.lax.while_loop(cond, step, state)
-
+    # robust dispatch mode: ``chunk`` jitted single-iteration dispatches per
+    # host convergence check (one scalar readback every chunk iterations;
+    # dispatch itself is asynchronous and costs microseconds).  This avoids
+    # wrapping the step in an outer lax.while_loop, which has been observed
+    # to crash the remote-attached TPU worker at scale while the identical
+    # step body dispatched repeatedly runs fine.  ``prob`` is a jit ARGUMENT
+    # of admm_step (not a closure): closing over the concrete problem would
+    # embed every operator as an HLO constant in the compile payload.
     state = state0
-    while True:
-        bound = jnp.minimum(state.it + chunk, max_iter)
-        state = run_chunk(state, bound)
-        if bool(state.converged) or int(state.it) >= max_iter:
-            return state
+    it = int(state.it)
+    while it < max_iter:
+        n = min(chunk, max_iter - it)
+        for _ in range(n):
+            state = admm_step(prob, state, modes)
+        it += n
+        if bool(state.converged):
+            break
+    return state
 
 
 @partial(

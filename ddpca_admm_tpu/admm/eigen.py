@@ -55,9 +55,18 @@ def run_apps(
         vals, modes = w[order], V[:, order]
     else:
         # Spectra SmallestMagn equivalent: shift-invert Lanczos about 0
-        # (sigma=0 factorizes G once; LM in shift-invert = smallest |w|)
-        w, V = spla.eigsh(G.tocsc(), k=n_freq, sigma=0.0, which="LM",
-                          tol=1.0e-6)
+        # (sigma=0 factorizes G once; LM in shift-invert = smallest |w|).
+        # A singular/semi-definite G (weakly constrained body) makes the
+        # sigma=0 factorization fail where Spectra's plain Lanczos would
+        # tolerate it — retry with a tiny diagonal-relative shift.
+        Gc = G.tocsc()
+        try:
+            w, V = spla.eigsh(Gc, k=n_freq, sigma=0.0, which="LM",
+                              tol=1.0e-6)
+        except RuntimeError:
+            sigma = -1.0e-12 * float(np.abs(Gc.diagonal()).max())
+            w, V = spla.eigsh(Gc, k=n_freq, sigma=sigma, which="LM",
+                              tol=1.0e-6)
         order = np.argsort(np.abs(w))
         vals, modes = w[order], V[:, order]
     fn = forc / (np.linalg.norm(forc) + 1e-300)

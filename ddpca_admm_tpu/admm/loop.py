@@ -119,6 +119,14 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
         return res.x, res.iters
 
     def step(state: AdmmState) -> AdmmState:
+        # Once converged the step is a no-op (lax.cond skips the branch), so
+        # every dispatch path — monolithic while_loop, chunked, stepwise —
+        # reports the identical iterations-to-converge (the reference's
+        # iterNumbReco, MCONTACT.h:2714) and identical final state, and
+        # post-convergence dispatches cost only the predicate.
+        return jax.lax.cond(state.converged, lambda s: s, _step_body, state)
+
+    def _step_body(state: AdmmState) -> AdmmState:
         # ---------------------------------------------------- x-update rhs
         rhs_flat = prob.cons_forc.reshape(-1)
         for g, gs in zip(prob.groups, state.groups):
@@ -294,12 +302,14 @@ def init_state(prob: AdmmProblem, hist_rows: int = 1) -> AdmmState:
     )
 
 
-@partial(jax.jit, static_argnames=("modes",))
-def admm_step(prob: AdmmProblem, state: AdmmState, modes: tuple[str, ...]) -> AdmmState:
+@partial(jax.jit, static_argnames=("modes", "inner_maxiter"))
+def admm_step(prob: AdmmProblem, state: AdmmState, modes: tuple[str, ...],
+              inner_maxiter: int = 500) -> AdmmState:
     """One jitted ADMM iteration with ``prob`` as a runtime argument (NOT a
     closure constant — embedding the operators as HLO constants triggers
-    XLA's slow constant folding and bloats the executable)."""
-    return make_admm_step(prob, modes)(state)
+    XLA's slow constant folding and bloats the executable).  No-ops once
+    ``state.converged`` is set (see ``make_admm_step``)."""
+    return make_admm_step(prob, modes, inner_maxiter=inner_maxiter)(state)
 
 
 def contact_analysis_stepwise(
@@ -355,13 +365,17 @@ def contact_analysis(
     # step body dispatched repeatedly runs fine.  ``prob`` is a jit ARGUMENT
     # of admm_step (not a closure): closing over the concrete problem would
     # embed every operator as an HLO constant in the compile payload.
+    # Because the step no-ops once converged, state.it and the final state
+    # match the while_loop path exactly; overshoot dispatches within the
+    # last chunk execute only the converged predicate.
     state = state0
-    it = int(state.it)
-    while it < max_iter:
-        n = min(chunk, max_iter - it)
+    dispatched = int(state.it)
+    while dispatched < max_iter:
+        n = min(chunk, max_iter - dispatched)
         for _ in range(n):
-            state = admm_step(prob, state, modes)
-        it += n
+            state = admm_step(prob, state, modes,
+                              inner_maxiter=inner_maxiter)
+        dispatched += n
         if bool(state.converged):
             break
     return state

@@ -131,15 +131,21 @@ def build_problem(
     # the finest operator — extra smoothing there is harmless).  Appending
     # at the top keeps coarse level indices (dole) stable.
     L_max = max(s.n_levels for s in systems)
+    # extend local copies of the level lists — never mutate the caller's
+    # ConstrainedSystem objects (they may be reused for run_apps or a second
+    # build with different dole semantics)
+    stif_lists, prol_lists = [], []
     for s in systems:
-        while s.n_levels < L_max:
-            n = s.cons_stif[-1].shape[0]
-            s.cons_stif.append(s.cons_stif[-1])
-            s.real_prol.append(sp.identity(n, format="csr"))
-            s.n_levels += 1
+        stif = list(s.cons_stif)
+        prol = list(s.real_prol)
+        while len(stif) < L_max:
+            stif.append(stif[-1])
+            prol.append(sp.identity(stif[-1].shape[0], format="csr"))
+        stif_lists.append(stif)
+        prol_lists.append(prol)
     with _phase("MGPIS::ESTABLISH (device hierarchy)"):
         mg = build_hierarchy(
-            [s.cons_stif for s in systems], [s.real_prol for s in systems],
+            stif_lists, prol_lists,
             dtype=precond_dtype or _jnp.float32,
             a_top_dtype=sd,
         )
@@ -157,12 +163,38 @@ def build_problem(
         u_mask[b, :nb] = True
     gram = device_sparse(gram_mats, n_pad, n_pad)
 
-    # group regions by mode
-    modes = sorted({r.region.mode for r in regions})
+    # Group regions by DOF mode, then split each mode into SIZE BUCKETS:
+    # every group is padded to its largest member, so one group spanning a
+    # heterogeneous region population (DEHW: ~4 large AMR contact zones among
+    # ~90 small DD interfaces) would cost R x max instead of ~sum.  Sorting
+    # by size and opening a new bucket whenever a region falls below half the
+    # bucket leader bounds per-region padding waste to 2x at the price of
+    # O(log(size range)) extra groups (dispatch/compile cost is per group,
+    # negligible at <=8 buckets).
+    modes_present = sorted({r.region.mode for r in regions})
+    buckets: list[tuple[str, list[int]]] = []
+    for mode in modes_present:
+        idx = [i for i, r in enumerate(regions) if r.region.mode == mode]
+
+        def _size(i):
+            r = regions[i]
+            m = max(r.sides[s].inte_mass.shape[0] for s in (0, 1))
+            return m + r.pema.size
+
+        idx.sort(key=_size, reverse=True)
+        cur: list[int] = []
+        for i in idx:
+            if cur and _size(cur[0]) > 2 * _size(i):
+                buckets.append((mode, cur))
+                cur = []
+            cur.append(i)
+        if cur:
+            buckets.append((mode, cur))
+
+    modes = [m for m, _ in buckets]   # one entry PER GROUP (may repeat)
     groups = []
     group_region_idx = []
-    for mode in modes:
-        idx = [i for i, r in enumerate(regions) if r.region.mode == mode]
+    for mode, idx in buckets:
         group_region_idx.append(idx)
         regs = [regions[i] for i in idx]
         R = len(regs)

@@ -20,9 +20,14 @@ Implemented here (vectorized NumPy, Newton solvers batched over grid points):
                                               parameterization (DEHWSURF.h:593-673)
   * worm/wheel flank grids for CurvedSurface construction.
 
-The reference's additional zones (former-contact, head/rear transition,
-curvature-interference bookkeeping, flank relief) are round-2 work; the
-working-flank grids produced here are exact surface points of both members.
+All of the reference's zones are implemented in this file: working flanks
+(``worm_flank_grid``/``wheel_flank_grid``), former-contact zone
+(``former_point``/``_seed_former_zone``), head/rear transition zones
+(``transition_point``/``_seed_tran_zone``), curvature-interference
+bookkeeping (``curvature_interference``), flank relief
+(``worm_relief_grid``/``wheel_relief_grid``), back and root grids
+(``*_back_grid``/``*_root_grids``) — DEHWSURF.h:404-1100 parity per
+PARITY.md.
 """
 
 from __future__ import annotations

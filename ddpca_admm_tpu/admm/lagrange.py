@@ -421,8 +421,11 @@ def _restricted_gmg_precond(Khat, systems, base, rest):
     for P in reversed(prols):
         mats.append((P.T @ mats[-1] @ P).tocsr())
     mats.reverse()  # coarsest first
-    if mats[0].shape[0] > 3000:
-        return None  # coarse dense inverse would dominate; fall back to Jacobi
+    # No size cap: build_hierarchy dense-inverts the coarsest level up to
+    # DENSE_COARSE_MAXI and otherwise ends the V-cycle in an aggressive
+    # Chebyshev sweep — still a fixed linear operator, so refined meshes keep
+    # the restricted-GMG preconditioner instead of silently dropping to
+    # Jacobi (reference behavior: MCONTACT.h:3419-3562 always builds it).
     mg = build_hierarchy([mats], [prols], assume_sym=False)
     n = Khat.shape[0]
     n_pad = mg.levels[-1].A.n_rows  # hierarchy pads to the 128-lane tile

@@ -34,9 +34,16 @@ import scipy.sparse as sp
 
 RB = 8     # row-block (sublane tile)
 CB = 128   # column-block (lane tile)
-# minimum nnz / stored-tile-entries ratio for BlockEll to beat ELL: below
-# this the dense tiles are mostly padding (memory and bandwidth waste)
-BELL_MIN_FILL = 0.20
+# BlockEll stores dense (8,128) tiles, so low nnz/tile-entry fill wastes
+# memory and bandwidth — but the ELL alternative is XLA's scalarized gather
+# at ~10 ns/element (measured on v5e: 27 ms for a 2.8M-element matvec that
+# BlockEll does in ~0.15 ms), a ~30-100x slowdown that dwarfs even 20x tile
+# padding.  Policy: take BlockEll whenever the padded tiles FIT (absolute
+# byte budget, env-overridable); only genuinely huge operators (the 8.8M-DOF
+# BLOCK hierarchy) drop to ELL.
+BELL_MAX_BYTES = int(
+    os.environ.get("DDPCA_BELL_MAX_BYTES", str(1 << 30))
+)
 
 
 def round_up(x: int, m: int) -> int:
@@ -202,16 +209,14 @@ def device_sparse(
     n_rows = round_up(n_rows or max(m.shape[0] for m in mats), RB)
     n_cols = round_up(n_cols or max(m.shape[1] for m in mats), CB)
     if use_block_format() and not force_ell:
-        # BlockEll stores full (8,128) tiles: a win only when RCM actually
-        # clusters the couplings densely.  3-D FEM bands grow like n^(2/3),
-        # so at scale the tile fill collapses (measured 5% at the 180k-DOF
-        # BLOCK -> 20x the ELL bytes and device OOM) — fall back to ELL
-        # whenever the tiles would be mostly padding.
+        # 3-D FEM bands grow like n^(2/3), so tile fill collapses at scale
+        # (measured 5% at the 180k-DOF BLOCK); pay the padding as long as
+        # the tiles fit the byte budget — see BELL_MAX_BYTES above.
         S = _max_slots(mats, n_cols)
-        nnz = sum(m.nnz for m in mats)
-        tile_bytes = len(mats) * (n_rows // RB) * S * RB * CB
-        fill = nnz / max(tile_bytes, 1)
-        if fill >= BELL_MIN_FILL:
+        # budget against the eventual solve dtype (operators are downcast to
+        # f32 on accelerators by build_problem's cast_pytree)
+        tile_entries = len(mats) * (n_rows // RB) * S * RB * CB
+        if tile_entries * 4 <= BELL_MAX_BYTES:
             return bell_from_csr_list(
                 mats, n_rows, n_cols, dtype=np.dtype(dtype or np.float64),
                 batch_shape=batch_shape,

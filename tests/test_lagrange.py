@@ -37,6 +37,37 @@ def test_lagrange_stacked_boxes_patch():
     assert (lam_n < 0).all() or (lam_n > 0).all(), "uniform-sign multipliers"
 
 
+def test_lagrange_friction_slide_stick_transition():
+    """Drive the semi-smooth Newton friction state machine through actual
+    transitions (MCONTACT.h:3639-3689): a shear load tilts the contact
+    pressure, so low-pressure nodes leave the stick state (initial status 2)
+    and finish sliding (status 1) while high-pressure nodes keep sticking."""
+    from ddpca_admm_tpu.models.simple import assemble_bodies
+
+    p, mu, tau = -1.0e7, 0.15, 1.2e6
+    prob, meta, bodies = stacked_boxes_problem(
+        div_bot=3, div_top=2, levels=0, pressure=p, fric=mu, shear=tau
+    )
+    systems = assemble_bodies(bodies, meta.regions, include_penalty=False)
+    res = solve_lagrange(
+        systems, meta.regions, [b.mesh for b in bodies], use_device=False
+    )
+    st = res.status[0]
+    # the state machine actually transitioned (all nodes start at 2)
+    assert res.iters >= 1
+    assert (st == 1).sum() >= 1, f"no sliding nodes: {st}"
+    assert (st == 2).sum() >= 1, f"no sticking nodes: {st}"
+    # sliding nodes carry no independent tangential multiplier — their
+    # traction is mu*lam_n along the slip direction via the slip rows
+    # (MCONTACT.h:3188-3239), so the stored tangential slots are zero;
+    # sticking nodes must lie strictly inside the Coulomb cone
+    lam = res.lagr[0].reshape(-1, 3)
+    lam_n, lam_t = np.abs(lam[:, 0]), np.hypot(lam[:, 1], lam[:, 2])
+    slide, stick = st == 1, st == 2
+    assert np.allclose(lam_t[slide], 0.0, atol=1e-6 * lam_n.max())
+    assert (lam_t[stick] <= mu * lam_n[stick] * (1 + 1e-8)).all()
+
+
 def test_lagrange_restricted_gmg_preconditioner():
     """precType=1 (restricted-GMG BiCGSTAB, MCONTACT.h:3419-3562) must give
     the same patch-test solution as the Jacobi path on a refined mesh."""

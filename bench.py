@@ -68,8 +68,8 @@ def build(glob_leve: int):
     )
     model = build_block_model(cfg)
     prob, meta = build_problem(
-        model.meta.systems, model.regions,
-        dole=[1] * len(model.meta.systems),   # doleMcsc=1, BLOCK.cpp:69-71
+        model.systems, model.regions,
+        dole=[1] * len(model.systems),   # doleMcsc=1, BLOCK.cpp:69-71
         musc_sett=2,                          # muscSett=(1<<1), BLOCK.h:38
     )
     return prob, meta
@@ -91,6 +91,16 @@ def main() -> None:
     chunk = int(os.environ.get("DDPCA_BENCH_CHUNK", "10"))
 
     import jax
+
+    # persistent compile cache: repeat runs of the same problem skip the
+    # multi-minute XLA compile (works through the axon remote-compile relay)
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ddpca_admm_tpu.admm.loop import contact_analysis
 

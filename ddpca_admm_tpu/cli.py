@@ -23,7 +23,7 @@ import time
 
 
 def _solve_and_write(prob, meta, bodies, outdir: str, max_iter: int = 3000,
-                     moni: bool = False):
+                     moni: bool = False, chunk: int | None = None):
     import jax
     import numpy as np
 
@@ -37,7 +37,8 @@ def _solve_and_write(prob, meta, bodies, outdir: str, max_iter: int = 3000,
     # DDPCA_PROFILE_DIR captures a jax.profiler trace of the whole solve
     with timing.trace():
         state = contact_analysis(
-            prob, tuple(meta.group_modes), max_iter=max_iter, record_moni=moni
+            prob, tuple(meta.group_modes), max_iter=max_iter,
+            record_moni=moni, chunk=chunk
         )
         jax.block_until_ready(state.u)
     solve_s = time.time() - t0
@@ -198,6 +199,14 @@ def main(argv=None) -> None:
             "--max-iter", type=int, default=3000,
             help="ADMM outer-iteration cap (MCONTACT.h:2502 maxiIter)",
         )
+        sp.add_argument(
+            "--chunk", type=int,
+            default=int(os.environ.get("DDPCA_CHUNK", "0")) or None,
+            help="dispatch the ADMM loop in chunks of N jitted single "
+                 "iterations with a host convergence check per chunk "
+                 "(robust on remote-attached TPUs) instead of one on-device "
+                 "while_loop; default DDPCA_CHUNK env or monolithic",
+        )
 
     args = ap.parse_args(argv)
     t0 = time.time()
@@ -226,12 +235,13 @@ def main(argv=None) -> None:
             1 if args.glob_leve >= 1 else 0
         )
         prob, meta = build_problem(
-            model.meta.systems, model.regions,
-            dole=[dole_lv] * len(model.meta.systems),
+            model.systems, model.regions,
+            dole=[dole_lv] * len(model.systems),
             coarse_solver=args.coarse_solver,
         )
         summary = _solve_and_write(prob, meta, model.bodies, args.outdir,
-                                   moni=moni, max_iter=args.max_iter)
+                                   moni=moni, max_iter=args.max_iter,
+                                   chunk=args.chunk)
     elif args.cmd == "torsion":
         from .models.torsion import TorsionConfig, build_torsion_model
 
@@ -242,7 +252,8 @@ def main(argv=None) -> None:
         )
         prob, meta, bodies, cfg = build_torsion_model(cfg)
         summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
-                                   max_iter=args.max_iter)
+                                   max_iter=args.max_iter,
+                                   chunk=args.chunk)
         summary["analytic_twist"] = cfg.analytic_twist
     elif args.cmd == "beam":
         from .models.beam import BeamConfig, build_beam_model
@@ -253,7 +264,8 @@ def main(argv=None) -> None:
         )
         prob, meta, bodies, cfg = build_beam_model(cfg)
         summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
-                                   max_iter=args.max_iter)
+                                   max_iter=args.max_iter,
+                                   chunk=args.chunk)
     elif args.cmd == "cylinder":
         from .models.cylinder import CylinderConfig, build_cylinder_model
 
@@ -269,7 +281,8 @@ def main(argv=None) -> None:
         cfg.cross_corner = args.cross_corner
         prob, meta, bodies, cfg = build_cylinder_model(cfg)
         summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
-                                   max_iter=args.max_iter)
+                                   max_iter=args.max_iter,
+                                   chunk=args.chunk)
         a, p_max = cfg.hertz
         summary["hertz_half_width"] = a
         summary["hertz_p_max"] = p_max
@@ -327,7 +340,8 @@ def main(argv=None) -> None:
             return
         prob, meta = finalize_dehw_problem(bodies, regions, cfg)
         summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
-                                   max_iter=args.max_iter)
+                                   max_iter=args.max_iter,
+                                   chunk=args.chunk)
         summary["self_locking"] = args.self_locking
         summary["tape_coef"] = args.tape_coef
         summary["n_worm"] = info["n_worm"]
@@ -368,7 +382,8 @@ def main(argv=None) -> None:
             }
         else:
             summary = _solve_and_write(prob, meta, bodies, args.outdir, moni=moni,
-                                   max_iter=args.max_iter)
+                                   max_iter=args.max_iter,
+                                   chunk=args.chunk)
 
     summary["total_seconds"] = round(time.time() - t0, 3)
     print(json.dumps(summary))

@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..admm.operators import RegionOps
-from ..admm.problem import AdmmMeta, AdmmProblem, build_problem
+
 from ..contact.search import mortar_integrate, surface_faces
 from ..mesh.hexmesh import HexMesh
 from ..utils.quadrature import quad4_shape
@@ -63,10 +63,13 @@ class BlockModel:
     cfg: BlockConfig
     bodies: list[Body]
     regions: list[RegionOps]
-    prob: AdmmProblem
-    meta: AdmmMeta
+    systems: list        # per-body ConstrainedSystem (host)
     n_core: int          # core subdomains per block
     slab_base: int       # index of first slab body
+    # NOTE: the device problem is NOT built here — every caller passes its
+    # own dole/musc_sett to build_problem; building one eagerly doubled the
+    # device-memory footprint (two full operator sets live in HBM) and OOMed
+    # the 180k-DOF bench on a 16 GB chip.
 
 
 def _z_offset(cfg: BlockConfig, tb: int) -> float:
@@ -303,9 +306,8 @@ def build_block_model(cfg: BlockConfig = BlockConfig()) -> BlockModel:
                             )
 
     systems = assemble_bodies(bodies, regions)
-    prob, meta = build_problem(systems, regions)
     return BlockModel(
-        cfg=cfg, bodies=bodies, regions=regions, prob=prob, meta=meta,
+        cfg=cfg, bodies=bodies, regions=regions, systems=systems,
         n_core=n_core, slab_base=slab_base,
     )
 

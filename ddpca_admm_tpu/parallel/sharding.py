@@ -48,20 +48,42 @@ def domain_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), axis_names=("domain",))
 
 
+def host_domain_mesh(n_hosts: int, n_per_host: int | None = None) -> Mesh:
+    """2-axis ``(host, domain)`` mesh: the outer axis maps to hosts (DCN),
+    the inner to chips within a host (ICI).  Bodies are sharded over BOTH
+    axes (B split across all devices); everything replicated (region groups,
+    coarse correction) is computed redundantly per device, so the coarse
+    solve itself generates NO cross-host traffic — only the coarse residual
+    gather ``tranD.mv(u)`` reduces over the body axis, and on a hierarchical
+    mesh XLA stages that collective as an ICI reduce-scatter within each
+    host followed by the small all-reduce over DCN (SURVEY §5: 'coarse-space
+    residual gather + replicated coarse solve over DCN across hosts')."""
+    devs = jax.devices()
+    n_per_host = n_per_host or len(devs) // n_hosts
+    n = n_hosts * n_per_host
+    return Mesh(
+        np.array(devs[:n]).reshape(n_hosts, n_per_host),
+        axis_names=("host", "domain"),
+    )
+
+
 def _check_divisible(B: int, mesh: Mesh) -> None:
     n_dev = mesh.devices.size
     if B % n_dev != 0:
         raise ValueError(
             f"body count B={B} is not divisible by the {n_dev}-device "
-            f"'domain' mesh: every chip must own the same number of "
+            f"{'x'.join(map(str, mesh.devices.shape))} mesh "
+            f"{mesh.axis_names}: every chip must own the same number of "
             f"subdomains (SPMD).  Pad the body list (add empty bodies) or "
             f"use a mesh size dividing {B}."
         )
 
 
 def _place_fields(tree, field_names, domain_fields, replicated_fields, mesh):
-    """device_put every array leaf by its top-level field membership."""
-    sharded = NamedSharding(mesh, P("domain"))
+    """device_put every array leaf by its top-level field membership.  On a
+    multi-axis mesh the body axis is sharded over ALL mesh axes (flattened
+    host x domain placement)."""
+    sharded = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     replicated = NamedSharding(mesh, P())
 
     def put(sub, sh):
@@ -110,6 +132,6 @@ def assert_state_sharding(state: AdmmState, mesh: Mesh) -> None:
     pick a partial placement for them, which is fine as long as it is
     consistent across iterations (guaranteed inside the jitted while_loop)."""
     u_sh = state.u.sharding
-    expect = NamedSharding(mesh, P("domain"))
+    expect = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     if not u_sh.is_equivalent_to(expect, state.u.ndim):
         raise AssertionError(f"state.u resharded: {u_sh} != {expect}")

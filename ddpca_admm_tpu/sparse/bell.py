@@ -42,7 +42,7 @@ CB = 128   # column-block (lane tile)
 # byte budget, env-overridable); only genuinely huge operators (the 8.8M-DOF
 # BLOCK hierarchy) drop to ELL.
 BELL_MAX_BYTES = int(
-    os.environ.get("DDPCA_BELL_MAX_BYTES", str(1 << 30))
+    os.environ.get("DDPCA_BELL_MAX_BYTES", str(2 << 30))
 )
 
 
@@ -216,10 +216,27 @@ def device_sparse(
         # budget against the eventual solve dtype (operators are downcast to
         # f32 on accelerators by build_problem's cast_pytree)
         tile_entries = len(mats) * (n_rows // RB) * S * RB * CB
-        if tile_entries * 4 <= BELL_MAX_BYTES:
+        take = tile_entries * 4 <= BELL_MAX_BYTES
+        if os.environ.get("DDPCA_SPARSE_DEBUG"):
+            nnz = sum(m.nnz for m in mats)
+            print(
+                f"[sparse] {len(mats)}x({n_rows}x{n_cols}) S={S} "
+                f"tiles={tile_entries * 4 / 1e6:.0f}MB "
+                f"nnz={nnz / 1e6:.2f}M fill={nnz / max(tile_entries, 1):.3f}"
+                f" -> {'bell' if take else 'ELL'}",
+                flush=True,
+            )
+        if take:
+            # materialize straight in the eventual solve dtype: uploading
+            # f64 tiles and downcasting later (cast_pytree) tripled peak HBM
+            # during build and OOMed the 180k-DOF bench
+            from ..utils.precision import solve_dtype
+
+            eff = np.dtype(dtype) if dtype else np.dtype(
+                jnp.dtype(solve_dtype()).name
+            )
             return bell_from_csr_list(
-                mats, n_rows, n_cols, dtype=np.dtype(dtype or np.float64),
-                batch_shape=batch_shape,
+                mats, n_rows, n_cols, dtype=eff, batch_shape=batch_shape,
             )
     e = stack_ells(mats, n_rows=n_rows, n_cols=n_cols)
     if batch_shape is not None:
@@ -230,6 +247,11 @@ def device_sparse(
         )
     elif len(mats) == 1:
         e = Ell(vals=e.vals[0], cols=e.cols[0], n_cols=e.n_cols)
+    if dtype is None:
+        # same peak-HBM rule as the bell path: upload in the solve dtype
+        from ..utils.precision import solve_dtype
+
+        dtype = solve_dtype()
     return to_device(e, dtype)
 
 

@@ -142,7 +142,7 @@ def test_block1_cross_corner_patch():
     model = build_block_model(cfg)
     assert len(model.bodies) == 24  # 3 blocks x 2^3 cores, no slabs
     prob, meta = build_problem(
-        model.meta.systems, model.regions, dole=[0] * len(model.bodies)
+        model.systems, model.regions, dole=[0] * len(model.bodies)
     )
     st = contact_analysis(prob, tuple(meta.group_modes), max_iter=1500)
     assert bool(st.converged)

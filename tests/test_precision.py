@@ -19,8 +19,8 @@ def _solve(dtype):
     cfg = BlockConfig(divi=(2, 2, 2), glob_leve=1, doma_numb=(1, 1, 1))
     model = build_block_model(cfg)
     prob, meta = build_problem(
-        model.meta.systems, model.regions,
-        dole=[0] * len(model.meta.systems), dtype=dtype,
+        model.systems, model.regions,
+        dole=[0] * len(model.systems), dtype=dtype,
     )
     st = contact_analysis(prob, tuple(meta.group_modes), max_iter=3000)
     return st, meta
@@ -45,8 +45,8 @@ def test_f32_problem_dtypes():
     cfg = BlockConfig(divi=(2, 2, 2), glob_leve=1, doma_numb=(1, 1, 1))
     model = build_block_model(cfg)
     prob, _ = build_problem(
-        model.meta.systems, model.regions,
-        dole=[0] * len(model.meta.systems), dtype=jnp.float32,
+        model.systems, model.regions,
+        dole=[0] * len(model.systems), dtype=jnp.float32,
     )
     assert prob.cons_forc.dtype == jnp.float32
     assert prob.mg.A_top.vals.dtype == jnp.float32

@@ -41,6 +41,28 @@ def test_eight_devices_match_single_device(chain8):
     assert int(sts.it) == int(st1.it)
 
 
+def test_host_domain_mesh_matches_single_device(chain8):
+    """2-axis (host, domain) = (2, 4) mesh: the DCN/ICI hierarchy placement
+    (parallel/sharding.py::host_domain_mesh) must reproduce the single-device
+    solution and iteration count exactly."""
+    from ddpca_admm_tpu.parallel.sharding import host_domain_mesh
+
+    prob, meta, _ = chain8
+    modes = tuple(meta.group_modes)
+    st1 = contact_analysis(prob, modes, max_iter=600)
+    mesh = host_domain_mesh(2, 4)
+    probs = shard_problem(prob, mesh)
+    st0 = shard_state(init_state(probs), probs, mesh)
+    sts = contact_analysis(probs, modes, max_iter=600, state0=st0)
+    assert bool(sts.converged)
+    scale = float(jnp.abs(st1.u).max())
+    np.testing.assert_allclose(
+        np.asarray(sts.u), np.asarray(st1.u), atol=1e-9 * scale
+    )
+    assert int(sts.it) == int(st1.it)
+    assert_state_sharding(sts, mesh)
+
+
 def test_step_preserves_designed_sharding(chain8):
     prob, meta, _ = chain8
     mesh = domain_mesh(8)

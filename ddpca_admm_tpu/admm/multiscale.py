@@ -163,6 +163,13 @@ def _coarse_solver_parts(
     DOUBLE_M(_1) MG hierarchy at/above it (reference dispatch,
     MCONTACT.h:1857-1866 / 1229-1238)."""
     Nc = G.shape[0]
+    # masked (grid-mode) body hierarchies leave Dirichlet dofs in every
+    # level with zero prolongation rows, so their coarse rows/cols are
+    # exactly zero here — decouple them with a unit diagonal (their rhs is
+    # always zero, the correction stays zero there)
+    dz = G.diagonal()
+    if (dz == 0.0).any():
+        G = (G + sp.diags(np.where(dz == 0.0, 1.0, 0.0))).tocsr()
     use_ddmg = coarse_solver == "ddmg" or (
         coarse_solver == "auto" and Nc >= DENSE_COARSE_MAXI
     )
@@ -490,6 +497,13 @@ def build_coarse_correction_a(
     )
 
 
+def _rota_body(r: RegionOps, tv: int, NN: int) -> sp.csr_matrix:
+    """Block-diagonal nodal rotation of body tv (identity when unrotated)."""
+    from .operators import _rotation_blockdiag
+
+    return _rotation_blockdiag(NN // 3, r.node_rota[tv])
+
+
 def _ip_cores(r: RegionOps):
     ip = r.region.ip
     w = ip.weight
@@ -503,7 +517,11 @@ def _ip_cores(r: RegionOps):
 
 def _disp_unba(r: RegionOps, tv: int, meshes) -> sp.csr_matrix:
     """dispUnba (MCONTACT.h:1011-1063 / 1101-1176): body-tv full DOFs x
-    side-0 interface DOFs, penalty-weighted, rotations on the body side."""
+    side-0 interface DOFs, penalty-weighted, rotations on the body side
+    (reference: tempRota.transpose() * matr_0, MCONTACT.h:1033-1035 — the
+    body rows must be in the nodal LOCAL frame to compose with expand,
+    whose output is local at rotated nodes; missing this diverged the DEHW
+    hub under coarse correction A)."""
     ip, w, scalar, P = _ip_cores(r)
     n = ip.n
     nodes = ip.nodes[tv]
@@ -525,9 +543,10 @@ def _disp_unba(r: RegionOps, tv: int, meshes) -> sp.csr_matrix:
             blk.shape,
         ).ravel()
         cols = np.broadcast_to(cidx0[:, None, None, :], blk.shape).ravel()
-        return sp.coo_matrix(
+        M = sp.coo_matrix(
             (blk.ravel(), (rows, cols)), shape=(NN, uniq0.size)
         ).tocsr()
+        return (_rota_body(r, tv, NN).T @ M).tocsr()
     T = ip.basis
     TtPT = np.einsum("nfi,fg,ngj->nij", T, P, T)
     blk = (
@@ -545,9 +564,10 @@ def _disp_unba(r: RegionOps, tv: int, meshes) -> sp.csr_matrix:
         3 * cidx0[:, None, None, :, None] + np.arange(3)[None, None, None, None, :],
         blk.shape,
     ).ravel()
-    return sp.coo_matrix(
+    M = sp.coo_matrix(
         (blk.ravel(), (rows, cols)), shape=(NN, 3 * uniq0.size)
     ).tocsr()
+    return (_rota_body(r, tv, NN).T @ M).tocsr()
 
 
 def _unba_matr(r: RegionOps) -> sp.csr_matrix:

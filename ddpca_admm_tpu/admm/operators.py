@@ -71,6 +71,9 @@ class RegionOps:
     sides: tuple[RegionSideOps, RegionSideOps]
     pema: np.ndarray                 # (idof,) penalty diagonal
     ngap: np.ndarray                 # (idof,) initial gaps (normal slot)
+    # per-side body nodal rotation dicts (needed by the coarse corrections,
+    # whose dispUnba/globTran_D rotate the body rows like systTran does)
+    node_rota: tuple = ({}, {})
 
 
 def _interface_numbering(ip: IntegralPoints, side: int) -> tuple[np.ndarray, np.ndarray]:
@@ -206,7 +209,12 @@ def build_region_ops(
                     * shape[:, None, None, :, None]
                     * core[:, None, :, None, :]
                 )                                                  # (n,4,3,4,3)
-                t = np.einsum("najbl,nakj->nakbl", t, rot)        # rot^T on rows
+                # rows to the body node's LOCAL frame: f_loc = R^T f_glob
+                # (reference: tempRota.transpose() * matr, MCONTACT.h:392-394;
+                # contracting rot's FIRST matrix index = R^T — contracting the
+                # second is R, which silently diverged the DEHW hub whose
+                # rotated nodes sit on DD interfaces)
+                t = np.einsum("najbl,najk->nakbl", t, rot)
                 rows = np.broadcast_to(
                     3 * nodes[:, :, None, None, None]
                     + np.arange(3)[None, None, :, None, None],
@@ -392,4 +400,5 @@ def build_region_ops(
         pema = np.tile([reg.pena_n, reg.pena_f, reg.pena_f], n)
         ngap = np.zeros(3 * n)
         ngap[0::3] = ip.gap
-    return RegionOps(region=reg, sides=(sides[0], sides[1]), pema=pema, ngap=ngap)
+    return RegionOps(region=reg, sides=(sides[0], sides[1]), pema=pema,
+                     ngap=ngap, node_rota=node_rota)

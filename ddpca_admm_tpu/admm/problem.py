@@ -107,6 +107,7 @@ def build_problem(
     precond_dtype=None,
     coarse_solver: str = "auto",
     dtype=None,
+    structured: bool = True,
 ) -> tuple[AdmmProblem, AdmmMeta]:
     """Build the device problem.
 
@@ -143,11 +144,25 @@ def build_problem(
             prol.append(sp.identity(stif[-1].shape[0], format="csr"))
         stif_lists.append(stif)
         prol_lists.append(prol)
+    # structured-grid DIA fast path: only when EVERY body is a detected
+    # uniform grid AND no body needed level extension (identity prolongations
+    # are not nested-grid transfers).  ``structured=False`` opts out — the
+    # BatchBlocks grouping shards per body-shape group, which is incompatible
+    # with a 'domain'-sharded mesh when shapes are heterogeneous
+    # (parallel/sharding.py::shard_problem raises in that case).
+    grids = [getattr(s, "grid", None) for s in systems]
+    if (
+        not structured
+        or any(g is None for g in grids)
+        or any(len(s.cons_stif) != L_max for s in systems)
+    ):
+        grids = None
     with _phase("MGPIS::ESTABLISH (device hierarchy)"):
         mg = build_hierarchy(
             stif_lists, prol_lists,
             dtype=precond_dtype or _jnp.float32,
             a_top_dtype=sd,
+            grids=grids,
         )
     n_pad = mg.levels[-1].A.n_rows
     cons_forc = np.zeros((B, n_pad))

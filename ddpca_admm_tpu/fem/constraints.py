@@ -102,6 +102,23 @@ def _expand_scalar_to_3dof(
 
 
 @dataclass
+class GridInfo:
+    """Structured-grid metadata for the DIA fast path (one body).
+
+    Present when every multigrid level's nodes form a full Cartesian grid
+    (uniform/anisotropic global refinement, no AMR) and the reduced spaces
+    are kept at FULL grid size with Dirichlet dofs *masked* (decoupled unit
+    diagonal) instead of eliminated — elimination compacts indices and
+    destroys the constant col-row stencil offsets that make DIA possible.
+    """
+
+    shapes: list[tuple[int, int, int]]    # per level (nz, ny, nx) node grid
+    strides: list[tuple[int, int, int]]   # level l -> l+1 per-axis stride
+    zmaps: list[np.ndarray]               # per level l: coarse grid-flat node
+    #                                       -> fine grid-flat node index
+
+
+@dataclass
 class ConstrainedSystem:
     """Per-body constrained multigrid hierarchy (reference MGPIS data)."""
 
@@ -110,6 +127,7 @@ class ConstrainedSystem:
     cons_forc: np.ndarray                # reduced RHS at finest level
     expand: sp.csr_matrix                # reduced -> full 3N displacement
     expand_const: np.ndarray             # Dirichlet contribution to full disp
+    grid: GridInfo | None = None         # structured-grid DIA metadata
     n_levels: int = 0
 
     def __post_init__(self) -> None:
@@ -128,6 +146,51 @@ class ConstrainedSystem:
         return self.expand.T @ f_full
 
 
+def _detect_grids(mesh: HexMesh, cum, L: int):
+    """Per-level full-Cartesian-grid detection.  Returns (axes, flat) per
+    level — axes = (ux, uy, uz) sorted unique coords, flat = grid-flat index
+    of each level-order node position — or None if any level is not a full
+    grid (AMR, curved meshes...)."""
+    out = []
+    for l in range(L + 1):
+        n_l = int(cum[l + 1])
+        nodes = mesh.pos_node[:n_l]
+        c = np.round(mesh.coords[nodes], 12)
+        ux, uy, uz = (np.unique(c[:, k]) for k in range(3))
+        if ux.size * uy.size * uz.size != n_l:
+            return None
+        ix = np.searchsorted(ux, c[:, 0])
+        iy = np.searchsorted(uy, c[:, 1])
+        iz = np.searchsorted(uz, c[:, 2])
+        flat = (iz * uy.size + iy) * ux.size + ix
+        if np.unique(flat).size != n_l:
+            return None
+        out.append(((ux, uy, uz), flat))
+    # nesting: each level's axis coords must be a strided subset of the next
+    for l in range(L):
+        for k in range(3):
+            a_c, a_f = out[l][0][k], out[l + 1][0][k]
+            p = np.searchsorted(a_f, a_c)
+            if p[-1] >= a_f.size or not np.array_equal(a_f[p], a_c):
+                return None
+            s = 1 if a_c.size == 1 else int(p[1] - p[0])
+            if s not in (1, 2) or not np.array_equal(
+                p, np.arange(a_c.size) * s
+            ):
+                return None
+    return out
+
+
+def _grid_perm(flat: np.ndarray) -> sp.csr_matrix:
+    """DOF permutation: x_grid = G @ x_level  (3 dof per node, comp minor)."""
+    n = flat.size
+    rows = (3 * flat[:, None] + np.arange(3)).ravel()
+    cols = np.arange(3 * n)
+    return sp.csr_matrix(
+        (np.ones(3 * n), (rows, cols)), shape=(3 * n, 3 * n)
+    )
+
+
 def constrain(
     mesh: HexMesh,
     stif_full: sp.csr_matrix,
@@ -135,6 +198,7 @@ def constrain(
     exte_forc: dict[int, float],
     node_rota: dict[int, np.ndarray] | None = None,
     geom_mult: bool = True,
+    ordering: str = "auto",
 ) -> ConstrainedSystem:
     """The CONSTRAINT pipeline.  ``stif_full`` is the assembled stiffness over
     all nodes (hanging included), in original node numbering."""
@@ -177,6 +241,78 @@ def constrain(
     for dof, val in exte_forc.items():
         f_full[dof] += val
     f_lvl = prol[L].T @ (Pmat.T @ f_full)
+
+    # ---- structured-grid fast path (GridInfo docstring): keep full grid
+    # spaces, MASK Dirichlet dofs (decoupled diagonal) instead of
+    # eliminating, and order nodes coordinate-lexicographically so every
+    # level matrix is a pure stencil (DIA on device, sparse/dia.py)
+    grids = None
+    if (
+        ordering in ("auto", "grid")
+        and geom_mult
+        and not node_rota
+        and getattr(mesh, "coup_reps", -1) == -1
+    ):
+        grids = _detect_grids(mesh, cum, L)
+    if grids is not None:
+        n_solve = 3 * int(cum[L + 1])
+        fixed = np.nonzero(~cons_flag[:n_solve])[0]
+        lift = np.zeros(n_solve)
+        lift[fixed] = disp_full[fixed]
+
+        Gs, Zs, cons_stif = [], [], []
+        for l in levels:
+            nl = orig[l].shape[0]
+            flags = cons_flag[:nl]
+            G = _grid_perm(grids[l][1])
+            Z = sp.diags(flags.astype(float))
+            d = orig[l].diagonal()
+            mask_diag = sp.diags(
+                np.where(flags, 0.0, np.where(d > 0, d, 1.0))
+            )
+            Am = (Z @ orig[l] @ Z + mask_diag).tocsr()
+            cons_stif.append((G @ Am @ G.T).tocsr())
+            Gs.append(G)
+            Zs.append(Z)
+        real_prol = [
+            (Gs[l + 1] @ (Zs[l + 1] @ prol[l] @ Zs[l]) @ Gs[l].T).tocsr()
+            for l in range(L)
+        ]
+        cons_forc = Gs[L] @ (
+            cons_flag[:n_solve] * (f_lvl - orig[L] @ lift)
+        )
+        expand = (Pmat @ prol[L] @ Zs[L] @ Gs[L].T).tocsr()
+        expand_const = Pmat @ (prol[L] @ lift)
+
+        shapes, strides, zmaps = [], [], []
+        for l in range(L + 1):
+            ux, uy, uz = grids[l][0]
+            shapes.append((uz.size, uy.size, ux.size))
+        for l in range(L):
+            (uxc, uyc, uzc), _ = grids[l]
+            (uxf, uyf, uzf), _ = grids[l + 1]
+            sx = 1 if uxc.size == 1 else int(
+                np.searchsorted(uxf, uxc)[1]
+            )
+            sy = 1 if uyc.size == 1 else int(np.searchsorted(uyf, uyc)[1])
+            sz = 1 if uzc.size == 1 else int(np.searchsorted(uzf, uzc)[1])
+            strides.append((sz, sy, sx))
+            # coarse grid-flat -> fine grid-flat node map
+            pz = np.searchsorted(uzf, uzc)
+            py = np.searchsorted(uyf, uyc)
+            px = np.searchsorted(uxf, uxc)
+            ZZ, YY, XX = np.meshgrid(pz, py, px, indexing="ij")
+            zmaps.append(
+                ((ZZ * uyf.size + YY) * uxf.size + XX).ravel()
+            )
+        return ConstrainedSystem(
+            cons_stif=cons_stif,
+            real_prol=real_prol,
+            cons_forc=cons_forc,
+            expand=expand,
+            expand_const=expand_const,
+            grid=GridInfo(shapes=shapes, strides=strides, zmaps=zmaps),
+        )
 
     cons_stif: list[sp.csr_matrix] = []
     selectors: dict[int, sp.csr_matrix] = {}

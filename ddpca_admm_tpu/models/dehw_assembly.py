@@ -725,8 +725,9 @@ def build_dehw_assembly(cfg: DehwDDConfig | None = None, surfs=None):
     for b in bodies[n_worm:]:
         subr_colo_whee(b, p, load_incr[1], driving)
 
-    # ---- regions
-    fric = 0.08 if driving else 0.2          # DEHW.h:1619
+    # ---- regions: mu = 0.2 driving worm, 0.08 self-locking
+    # (DEHW.h:1619: coloSett==1 means self-locking -> 0.08)
+    fric = 0.2 if driving else 0.08
     mu_e = 0.5 * (cfg.e_worm + cfg.e_whee)
     pena_iw = cfg.e_worm * cfg.char_fact / char_leng
     pena_ih = cfg.e_whee * cfg.char_fact / char_leng

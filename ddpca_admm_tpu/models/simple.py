@@ -199,6 +199,7 @@ def chain_problem(
     div: int = 2,
     levels: int = 1,
     char_fact: float = 25.0,
+    structured: bool = False,
 ) -> tuple[AdmmProblem, AdmmMeta, list[Body]]:
     """A chain of n stacked boxes (alternating non-matching meshes) tied by
     perfect interfaces, except the middle joint which is frictionless
@@ -235,7 +236,8 @@ def chain_problem(
     # MULTISCALE_1 coarse correction: without it an n-body chain propagates
     # boundary information one interface per ADMM iteration (same reason the
     # reference runs BLOCK with muscSett set, MCONTACT.h:2540-2624)
-    prob, meta = build_problem(systems, regions, dole=[0] * n_bodies)
+    prob, meta = build_problem(systems, regions, dole=[0] * n_bodies,
+                               structured=structured)
     return prob, meta, bodies
 
 

@@ -110,6 +110,15 @@ def _place_fields(tree, field_names, domain_fields, replicated_fields, mesh):
 def shard_problem(prob: AdmmProblem, mesh: Mesh) -> AdmmProblem:
     """Place every problem field per the placement tables above."""
     _check_divisible(prob.cons_forc.shape[0], mesh)
+    from ..solvers.mg import BatchBlocks
+
+    for lv in prob.mg.levels:
+        if isinstance(lv.A, BatchBlocks) and len(lv.A.ops) > 1:
+            raise ValueError(
+                "structured (DIA) hierarchy with heterogeneous body-shape "
+                "groups cannot be 'domain'-sharded; rebuild the problem "
+                "with build_problem(..., structured=False)"
+            )
     return _place_fields(
         prob, AdmmProblem._fields, _PROBLEM_DOMAIN_FIELDS,
         _PROBLEM_REPLICATED_FIELDS, mesh,

@@ -25,8 +25,135 @@ import scipy.linalg
 import scipy.sparse as sp
 
 from ..sparse.bell import device_sparse, round_up
+from ..sparse.dia import Dia, dia_from_csr_list
 from ..sparse.ell import Ell, stack_ells, to_device
 from ..utils.constants import DENSE_COARSE_MAXI
+
+
+@jax.tree_util.register_pytree_node_class
+class BatchBlocks:
+    """Block-diagonal over the leading batch axis: each contiguous body
+    range gets its own operator (different structured-grid shapes need
+    different DIA offset sets, sparse/dia.py)."""
+
+    def __init__(self, ops: tuple, bounds: tuple[tuple[int, int], ...]):
+        self.ops = tuple(ops)
+        self.bounds = tuple((int(a), int(b)) for a, b in bounds)
+
+    def tree_flatten(self):
+        return self.ops, self.bounds
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children, aux)
+
+    @property
+    def n_rows(self) -> int:
+        return self.ops[0].n_rows
+
+    @property
+    def dtype(self):
+        return self.ops[0].dtype
+
+    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        outs = [
+            op.mv(x[a:b]) for op, (a, b) in zip(self.ops, self.bounds)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+
+def _stuff_axis(x: jnp.ndarray, axis: int, stride: int, n_f: int) -> jnp.ndarray:
+    """Zero-stuff one grid axis: coarse length n_c -> fine length n_f with
+    coarse values at positions 0, stride, 2*stride, ... (pure layout ops)."""
+    n_c = x.shape[axis]
+    if stride == 1:
+        assert n_f == n_c
+        return x
+    z = jnp.zeros_like(x)
+    y = jnp.stack([x, z], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n_c
+    y = y.reshape(shape)
+    return jax.lax.slice_in_dim(y, 0, n_f, axis=axis)
+
+
+@jax.tree_util.register_pytree_node_class
+class StructuredProl:
+    """Prolongation on nested grids:  P e_c = S @ stuff(e_c)  where stuff
+    zero-fills the coarse values into their fine-grid slots (layout ops
+    only) and S is the interpolation stencil as a square fine-grid DIA —
+    the gather-free transfer (MULTIGRID::TRANSFER re-designed for TPU)."""
+
+    def __init__(self, S: Dia, fshape, cshape, strides, n_c_pad: int):
+        self.S = S
+        self.fshape = tuple(fshape)    # (nz, ny, nx) fine node grid
+        self.cshape = tuple(cshape)
+        self.strides = tuple(strides)  # (sz, sy, sx)
+        self.n_c_pad = int(n_c_pad)
+
+    def tree_flatten(self):
+        return (self.S,), (self.fshape, self.cshape, self.strides,
+                           self.n_c_pad)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    def _stuff(self, e_c: jnp.ndarray) -> jnp.ndarray:
+        nzc, nyc, nxc = self.cshape
+        nzf, nyf, nxf = self.fshape
+        batch = e_c.shape[:-1]
+        x = e_c[..., : 3 * nzc * nyc * nxc].reshape(
+            batch + (nzc, nyc, nxc, 3)
+        )
+        nb = len(batch)
+        for ax, (s, nf) in enumerate(zip(self.strides,
+                                         (nzf, nyf, nxf))):
+            x = _stuff_axis(x, nb + ax, s, nf)
+        x = x.reshape(batch + (3 * nzf * nyf * nxf,))
+        pad = self.S.n_rows - x.shape[-1]
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * nb + [(0, pad)])
+        return x
+
+    def mv(self, e_c: jnp.ndarray) -> jnp.ndarray:
+        return self.S.mv(self._stuff(e_c))
+
+
+@jax.tree_util.register_pytree_node_class
+class StructuredRest:
+    """Restriction = P^T:  r_c = unstuff(S^T r) — strided slice of the
+    transposed stencil's output."""
+
+    def __init__(self, St: Dia, fshape, cshape, strides, n_c_pad: int):
+        self.St = St
+        self.fshape = tuple(fshape)
+        self.cshape = tuple(cshape)
+        self.strides = tuple(strides)
+        self.n_c_pad = int(n_c_pad)
+
+    def tree_flatten(self):
+        return (self.St,), (self.fshape, self.cshape, self.strides,
+                            self.n_c_pad)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    def mv(self, r: jnp.ndarray) -> jnp.ndarray:
+        nzc, nyc, nxc = self.cshape
+        nzf, nyf, nxf = self.fshape
+        batch = r.shape[:-1]
+        y = self.St.mv(r)[..., : 3 * nzf * nyf * nxf]
+        g = y.reshape(batch + (nzf, nyf, nxf, 3))
+        nb = len(batch)
+        sz, sy, sx = self.strides
+        g = g[..., ::sz, ::sy, ::sx, :]
+        out = g.reshape(batch + (3 * nzc * nyc * nxc,))
+        pad = self.n_c_pad - out.shape[-1]
+        if pad:
+            out = jnp.pad(out, [(0, 0)] * nb + [(0, pad)])
+        return out
 
 CHEB_DEGREE = 3
 CHEB_LOWER_FRACTION = 0.25   # smoothing interval [lmax/4, 1.02*lmax]
@@ -54,6 +181,17 @@ class MgHierarchy(NamedTuple):
 COARSE_CHEB_DEGREE = 12  # level-0 sweep when coarse_inv is None
 
 
+def _stencil_matrix(P: sp.spmatrix, zmap: np.ndarray) -> sp.csr_matrix:
+    """Square fine-grid stencil S with S[r, embed(c)] = P[r, c], where
+    embed maps each coarse node to its fine-grid slot (GridInfo.zmaps) —
+    the host-side construction behind StructuredProl."""
+    P = P.tocoo()
+    cn, ck = P.col // 3, P.col % 3
+    cols = 3 * zmap[cn] + ck
+    n_f = P.shape[0]
+    return sp.csr_matrix((P.data, (P.row, cols)), shape=(n_f, n_f))
+
+
 def estimate_lmax(A: sp.spmatrix, iters: int = 20, seed: int = 0) -> float:
     """Power iteration upper bound for lambda_max(D^{-1}A) (host, setup)."""
     A = A.tocsr()
@@ -78,6 +216,7 @@ def build_hierarchy(
     dtype=jnp.float32,
     assume_sym: bool = True,
     a_top_dtype=None,
+    grids=None,
 ) -> MgHierarchy:
     """Build a batched hierarchy from per-subdomain scipy matrices.
 
@@ -149,19 +288,68 @@ def build_hierarchy(
                 lu = scipy.linalg.lu_factor(dense + shift * np.eye(n0))
                 inv[b] = scipy.linalg.lu_solve(lu, np.eye(n0))
 
+    structured = grids is not None and all(g is not None for g in grids)
+    if structured:
+        # group contiguous bodies with identical grid shapes (BatchBlocks)
+        bounds = []
+        start = 0
+        for b in range(1, B + 1):
+            if b == B or grids[b].shapes != grids[start].shapes:
+                bounds.append((start, b))
+                start = b
+
+        def _grouped(build_one):
+            return BatchBlocks(
+                tuple(build_one(a, b) for a, b in bounds), tuple(bounds)
+            )
+
     dev_levels = []
     for l, lv in enumerate(levels):
-        if l > 0:
-            n_fine, n_coar = lv["n_pad"], levels[l - 1]["n_pad"]
-            P = device_sparse(lv["pmats"], n_fine, n_coar, dtype)
-            Pt = device_sparse(
-                [m.T.tocsr() for m in lv["pmats"]], n_coar, n_fine, dtype
+        if structured:
+            from ..sparse.dia import dia_from_csr_list as _dia
+
+            np_dtype = np.dtype(jnp.dtype(dtype).name)
+            A = _grouped(
+                lambda a, b, lv=lv: _dia(
+                    lv["mats"][a:b], lv["n_pad"], np_dtype
+                )
             )
+            if l > 0:
+                n_f, n_c = lv["n_pad"], levels[l - 1]["n_pad"]
+
+                def _prols(a, b, l=l, n_f=n_f, n_c=n_c, transpose=False):
+                    g0 = grids[a]
+                    mats = []
+                    for bb in range(a, b):
+                        S = _stencil_matrix(
+                            real_prol[bb][l - 1], grids[bb].zmaps[l - 1]
+                        )
+                        mats.append(S.T.tocsr() if transpose else S)
+                    Sd = _dia(mats, n_f, np_dtype, pad_identity=False)
+                    fshape = g0.shapes[l]
+                    cshape = g0.shapes[l - 1]
+                    strides = g0.strides[l - 1]
+                    if transpose:
+                        return StructuredRest(Sd, fshape, cshape, strides, n_c)
+                    return StructuredProl(Sd, fshape, cshape, strides, n_c)
+
+                P = _grouped(lambda a, b: _prols(a, b))
+                Pt = _grouped(lambda a, b: _prols(a, b, transpose=True))
+            else:
+                P = Pt = None
         else:
-            P = Pt = None
+            if l > 0:
+                n_fine, n_coar = lv["n_pad"], levels[l - 1]["n_pad"]
+                P = device_sparse(lv["pmats"], n_fine, n_coar, dtype)
+                Pt = device_sparse(
+                    [m.T.tocsr() for m in lv["pmats"]], n_coar, n_fine, dtype
+                )
+            else:
+                P = Pt = None
+            A = device_sparse(lv["mats"], lv["n_pad"], lv["n_pad"], dtype)
         dev_levels.append(
             MgLevel(
-                A=device_sparse(lv["mats"], lv["n_pad"], lv["n_pad"], dtype),
+                A=A,
                 inv_diag=jnp.asarray(lv["inv_diag"], dtype),
                 lmax=jnp.asarray(lv["lmax"], dtype),
                 P=P,
@@ -179,6 +367,15 @@ def build_hierarchy(
     sd = a_top_dtype if a_top_dtype is not None else solve_dtype()
     if jnp.dtype(sd) == jnp.dtype(dtype):
         A_top = dev_levels[-1].A
+    elif structured:
+        from ..sparse.dia import dia_from_csr_list as _dia
+
+        A_top = _grouped(
+            lambda a, b: _dia(
+                levels[-1]["mats"][a:b], levels[-1]["n_pad"],
+                np.dtype(jnp.dtype(sd).name),
+            )
+        )
     else:
         A_top = device_sparse(
             levels[-1]["mats"], levels[-1]["n_pad"], levels[-1]["n_pad"], sd

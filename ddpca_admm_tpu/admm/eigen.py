@@ -83,6 +83,56 @@ def run_apps(
                       body_modes=body_modes)
 
 
+def run_apps_mpl(
+    systems: Sequence[ConstrainedSystem],
+    regions: Sequence[RegionOps],
+    meshes: Sequence,
+    dole: Sequence[int],
+    n_freq: int = 10,
+) -> AppsResult:
+    """APPS_MPL (MCONTACT.h:2405-2474): the same smallest-|.| eigen-analysis
+    on the variant-A coarse operator globCoup (body coarse DOFs + macroscopic
+    interface unknowns); mode shapes prolongate the body blocks only."""
+    from .multiscale import glob_coup_a
+
+    G, F, base, fico, macro_base, XF, n_macro = glob_coup_a(
+        systems, regions, meshes, list(dole)
+    )
+    Nc = G.shape[0]
+    n_freq = min(n_freq, Nc - 1)
+    if Nc <= DENSE_EIGH_MAXI:
+        w, V = scipy.linalg.eigh(G.toarray())
+        order = np.argsort(np.abs(w))[:n_freq]
+        vals, modes = w[order], V[:, order]
+    else:
+        Gc = G.tocsc()
+        try:
+            w, V = spla.eigsh(Gc, k=n_freq, sigma=0.0, which="LM",
+                              tol=1.0e-6)
+        except RuntimeError:
+            sigma = -1.0e-12 * float(np.abs(Gc.diagonal()).max())
+            w, V = spla.eigsh(Gc, k=n_freq, sigma=sigma, which="LM",
+                              tol=1.0e-6)
+        order = np.argsort(np.abs(w))
+        vals, modes = w[order], V[:, order]
+    # force correlation against the body-block coarse force
+    forc = np.zeros(Nc)
+    for v, s in enumerate(systems):
+        forc[base[v] : base[v + 1]] = F[v].T @ s.cons_forc
+    fn = forc / (np.linalg.norm(forc) + 1e-300)
+    corr = modes.T @ fn
+
+    body_modes = []
+    for f in range(n_freq):
+        per_body = []
+        for v, s in enumerate(systems):
+            blk = modes[base[v] : base[v + 1], f]
+            per_body.append(s.expand @ (F[v] @ blk))
+        body_modes.append(per_body)
+    return AppsResult(vals=vals, corr=corr, modes=modes,
+                      body_modes=body_modes)
+
+
 def write_freq(outdir: str, vals: np.ndarray, corr: np.ndarray) -> None:
     """resuFreq.txt (MCONTACT.h:2368-2376)."""
     os.makedirs(outdir, exist_ok=True)

@@ -357,21 +357,16 @@ def build_coarse_correction(
     )
 
 
-def build_coarse_correction_a(
+def glob_coup_a(
     systems: Sequence[ConstrainedSystem],
     regions: Sequence[RegionOps],
     meshes: Sequence,
     dole: Sequence[int],
-    n_pad: int,
-    group_region_idx: Sequence[Sequence[int]],
-    m_pads: Sequence[int],
-    coarse_solver: str = "auto",
-) -> CoarseCorrection:
-    """MULTISCALE variant A — the LATIN-style macroscopic correction
-    (MCONTACT.h:898-1536): the coarse space is [all bodies' level-dole DOFs;
-    one macroscopic unknown block per region], where the macroscopic basis is
-    the *non-mortar-side* interface trace of the coarse scalar shape
-    functions (ficoCotr, MCONTACT.h:900-965)."""
+):
+    """The variant-A coarse operator globCoup (MCONTACT.h:900-1066) and its
+    bases — shared by :func:`build_coarse_correction_a` and the APPS_MPL
+    eigen-analysis (MCONTACT.h:2405-2474).  Returns
+    (G, F, base, fico, macro_base, XF, n_macro)."""
     B = len(systems)
     F = [_coarse_restriction(s, dole[v]) for v, s in enumerate(systems)]
     nc = [F[v].shape[1] for v in range(B)]
@@ -379,8 +374,8 @@ def build_coarse_correction_a(
     Nb = int(base[-1])
     XF = [(systems[v].expand @ F[v]).tocsr() for v in range(B)]
 
-    # ---- ficoCotr per region (side 0): interface trace of coarse scalar
-    # basis, zero columns dropped
+    # ficoCotr per region (side 0): interface trace of coarse scalar basis,
+    # zero columns dropped
     fico = []
     n_macro = []
     for r in regions:
@@ -388,21 +383,18 @@ def build_coarse_correction_a(
         mesh = meshes[b0]
         L = mesh.max_level
         c = dole[b0]
-        S = sp.identity(mesh.n_nodes, format="csr")
         # un-permute rows: original node -> position ordering
-        perm = sp.csr_matrix(
+        S = sp.csr_matrix(
             (np.ones(mesh.n_nodes), (np.arange(mesh.n_nodes), mesh.node_pos)),
             shape=(mesh.n_nodes, mesh.n_nodes),
         )
-        S = perm
         for l in range(L, c - 1, -1):
             S = (S @ mesh.scal_prol[l]).tocsr()
         rows = r.sides[0].cont_nodes
         trace = S[rows]                                   # (m, n_c_scal)
         keep = np.unique(trace.nonzero()[1])
         trace = trace[:, keep].tocsr()
-        scalar = r.region.mode == "scalar"
-        if scalar:
+        if r.region.mode == "scalar":
             fico.append(trace)
             n_macro.append(trace.shape[1])
         else:
@@ -411,7 +403,6 @@ def build_coarse_correction_a(
     macro_base = Nb + np.concatenate([[0], np.cumsum(n_macro)])
     Nc = int(macro_base[-1])
 
-    # ---- globCoup, sparse accumulation
     Gacc = _SparseAccum(Nc)
     for v in range(B):
         Gacc.add(base[v], base[v], F[v].T @ systems[v].cons_stif[-1] @ F[v])
@@ -427,7 +418,31 @@ def build_coarse_correction_a(
             Gacc.add(mb0, base[bb], -du_red.T)
             ub = _unba_matr(r)
             Gacc.add(mb0, mb0, fico[ri].T @ ub @ fico[ri])
-    G_sp = Gacc.tocsr()
+    return Gacc.tocsr(), F, base, fico, macro_base, XF, n_macro
+
+
+def build_coarse_correction_a(
+    systems: Sequence[ConstrainedSystem],
+    regions: Sequence[RegionOps],
+    meshes: Sequence,
+    dole: Sequence[int],
+    n_pad: int,
+    group_region_idx: Sequence[Sequence[int]],
+    m_pads: Sequence[int],
+    coarse_solver: str = "auto",
+) -> CoarseCorrection:
+    """MULTISCALE variant A — the LATIN-style macroscopic correction
+    (MCONTACT.h:898-1536): the coarse space is [all bodies' level-dole DOFs;
+    one macroscopic unknown block per region], where the macroscopic basis is
+    the *non-mortar-side* interface trace of the coarse scalar shape
+    functions (ficoCotr, MCONTACT.h:900-965)."""
+    G_sp, F, base, fico, macro_base, XF, n_macro = glob_coup_a(
+        systems, regions, meshes, dole
+    )
+    B = len(systems)
+    nc = [F[v].shape[1] for v in range(B)]
+    Nb = int(base[-1])
+    Nc = int(macro_base[-1])
     inv, mat, mg = _coarse_solver_parts(
         G_sp, systems, dole, coarse_solver, n_macro_total=Nc - Nb
     )

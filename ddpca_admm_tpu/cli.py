@@ -159,14 +159,21 @@ def main(argv=None) -> None:
         "--no-dd", action="store_true",
         help="menu 0: ADMM without DD (1 worm + 1 wheel domain)",
     )
+    p.add_argument(
+        "--cross-corner", action="store_true",
+        help="DEHW_1 variant: wheel teeth split by face-width sections with "
+             "full-width blocks — DD corners cross the contact zone "
+             "(examples/DEHW_1.h:762-812)",
+    )
     p.add_argument("--glob-inho", type=int, default=None)
     p.add_argument("--glob-homo", type=int, default=None)
     p.add_argument("--loca-leve", type=int, default=None)
     p.add_argument(
-        "--apps", choices=["global", "coarse"], default=None,
+        "--apps", choices=["global", "coarse", "macro"], default=None,
         help="eigen analysis instead of contact solve (DEHW.cpp:110-121: "
-             "1 = global problem, 2 = global coarse problem); writes "
-             "resuFreq.txt + per-body mode shapes",
+             "1 = global problem, 2 = global coarse problem; macro = "
+             "APPS_MPL on the variant-A coarse operator, "
+             "MCONTACT.h:2405-2474); writes resuFreq.txt + per-body modes",
     )
     p.add_argument("--outdir", default="Dehw")
 
@@ -310,6 +317,7 @@ def main(argv=None) -> None:
             drive="wheel" if args.self_locking else "worm",
             dode=not args.no_dd,
             tape_coef=args.tape_coef,
+            cross_corner=args.cross_corner,
         )
         bodies, regions, info = build_dehw_assembly(cfg)
         if args.apps:
@@ -318,7 +326,12 @@ def main(argv=None) -> None:
             # "coarse" space, coarse uses doleMcsc
             import numpy as np
 
-            from .admm.eigen import run_apps, write_freq, write_modes
+            from .admm.eigen import (
+                run_apps,
+                run_apps_mpl,
+                write_freq,
+                write_modes,
+            )
             from .models.simple import assemble_bodies
 
             systems = assemble_bodies(bodies, regions)
@@ -326,7 +339,12 @@ def main(argv=None) -> None:
                 dole = [s.n_levels - 1 for s in systems]
             else:
                 dole = [cfg.dole] * len(systems)
-            res = run_apps(systems, regions, dole)
+            if args.apps == "macro":
+                res = run_apps_mpl(
+                    systems, regions, [b.mesh for b in bodies], dole
+                )
+            else:
+                res = run_apps(systems, regions, dole)
             write_freq(args.outdir, res.vals, res.corr)
             write_modes(args.outdir, res, bodies)
             summary = {

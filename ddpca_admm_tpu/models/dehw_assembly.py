@@ -346,6 +346,7 @@ def build_whee_domains(
     anal_angl=(0.0, 0.0),
     cent_erro: float = 0.0,
     dode: bool = True,
+    cross_corner: bool = False,
 ):
     """Wheel domain meshes (teeth x halves when ``dode``; one mesh of all
     teeth otherwise) + the two DD auxiliary surfaces, placed in the assembly
@@ -408,6 +409,74 @@ def build_whee_domains(
     whde = SparseSurface()
     whde_midd = SparseSurface()
     n_teeth_built = teeth if dode else 1
+
+    if dode and cross_corner:
+        # ---- DEHW_1 cross-corner decomposition (examples/DEHW_1.h:762-812):
+        # each tooth splits into face-width SECTION groups with FULL-width
+        # blocks (blocPoin[1..3] span the whole tooth), so the DD cut planes
+        # are constant-section surfaces that cross the contact zone corners.
+        h4 = wn4 // 2   # numbFace = gridNumb[1][4] / gridNumb[1][6]
+        tj0f = (np.arange(wn1 + 1) / wn1)[None, :, None, None]
+        b0f = _lerp(inne[:, None, :], tran1[:, None, :], tj0f)
+        tj1f = (np.arange(wn2 + 1) / wn2)[None, :, None, None]
+        tk2f = (np.arange(wn2 + 1) / wn2)[None, None, :, None]
+        b1f = whee_cone(
+            p, _lerp(tran0[:, None, : h + 1], root0[:, None, :], tj1f),
+            a3[:, None, None],
+        )
+        b2a = whee_cone(
+            p, _lerp(pF2[:, :, None], line[:, :, None], tk2f),
+            a3[:, None, None],
+        )
+        b2b = whee_cone(
+            p, _lerp(line[:, :, None], pB2[:, :, None], tk2f),
+            a3[:, None, None],
+        )
+        b3f = whee_cone(
+            p, _lerp(tran0[:, None, h:], root1[:, None, ::-1, :], tj1f),
+            a3[:, None, None],
+        )
+        blocks_full = [b0f, b1f, b2a, b2b, b3f]
+        # within-tooth face-mid cut: every block's section-h4 grid, chained
+        # at disjoint row offsets (constant-section surface; both in-plane
+        # directions refine by wf0)
+        r0 = 0
+        for blk in blocks_full:
+            g2 = blk[h4]                                   # (Rb, Cb, 3)
+            whde_midd.insert_grid(r0, wf0, 0, wf0, g2)
+            r0 += (g2.shape[0] + 2) * wf0
+        # tooth-boundary surface: hub + right-root blocks at the full-width
+        # edge (DEHW whde pattern, full sections)
+        whde.insert_grid(0, wf0, 0, wf1, b0f[:, :, -1].transpose(1, 0, 2))
+        whde.insert_grid(
+            wn1 * wf0, wf0, 0, wf1, b3f[:, :, -1].transpose(1, 0, 2)
+        )
+        for toot in range(teeth):
+            R_t = _rotz(2.0 * PI / p.z[1] * toot)
+            for fg in range(2):
+                sl = slice(fg * h4, fg * h4 + h4 + 1)
+                mesh = HexMesh()
+                for blk in blocks_full:
+                    part = blk[sl]
+                    Sb, Rb, Cb, _ = part.shape
+                    nid = mesh.add_nodes(part.reshape(-1, 3)).reshape(
+                        Sb, Rb, Cb
+                    )
+                    _block_elements(mesh, nid)
+                # both cut surfaces absorb refined nodes from BOTH face
+                # groups of tooth 0 (each cut borders both meshes)
+                aux = [whde_midd, whde] if toot == 0 else []
+                _refine_with_surfaces(
+                    mesh, wsurf, g.glob_inho, g.glob_homo, aver, aux=aux
+                )
+                mesh.rigid_transform(R_t, zero)
+                mesh.rigid_transform(whee_rota, zero)
+                if toot == 0 and fg == 1:
+                    for a in aux:
+                        a.rigid_transform(R_t, zero)
+                        a.rigid_transform(whee_rota, zero)
+                meshes.append(mesh)
+        return meshes, whde, whde_midd
 
     if dode:
         for toot in range(teeth):
@@ -602,6 +671,7 @@ class DehwDDConfig:
     e_worm: float = 210.0e9
     e_whee: float = 110.0e9      # DEHW.h:2248
     musc_sett: int = 1           # whadCosp default = bit0 (DEHW.h:8)
+    cross_corner: bool = False   # DEHW_1 wheel decomposition (DEHW_1.h)
     dole: int = 1                # doleMcsc (DEHW.h:2239)
     dist_crit: tuple | None = None
     anal_angl: tuple = (0.0, 0.0)
@@ -642,7 +712,8 @@ def build_dehw_assembly(cfg: DehwDDConfig | None = None, surfs=None):
         )
     with phase("DEHW::WHEE_MESH"):
         whee_meshes, whde, whde_midd = build_whee_domains(
-            surfs, cfg.anal_angl, cfg.cent_erro, dode=cfg.dode
+            surfs, cfg.anal_angl, cfg.cent_erro, dode=cfg.dode,
+            cross_corner=cfg.cross_corner,
         )
     n_worm = len(worm_meshes)
     bodies = [Body(mesh=m, e_mod=cfg.e_worm) for m in worm_meshes] + [
@@ -673,10 +744,22 @@ def build_dehw_assembly(cfg: DehwDDConfig | None = None, surfs=None):
 
     # contact pairs (DEHW.h:1521-1524); no-DD: 4x the single pair (0,1)
     if cfg.dode:
-        pairs = [
-            [(2 + 8 * tt + tc, n_worm + 6 + 2 * tt) for tc in range(3)]
-            for tt in range(4)
-        ]
+        if cfg.cross_corner:
+            # DEHW_1: the contact zone spans BOTH face-group domains of the
+            # tooth (the DD corner crosses it) -> 6 pairs per tooth pair
+            pairs = [
+                [
+                    (2 + 8 * tt + tc, n_worm + 6 + 2 * tt + fg)
+                    for tc in range(3)
+                    for fg in range(2)
+                ]
+                for tt in range(4)
+            ]
+        else:
+            pairs = [
+                [(2 + 8 * tt + tc, n_worm + 6 + 2 * tt) for tc in range(3)]
+                for tt in range(4)
+            ]
     else:
         pairs = [[(0, 1)] for _ in range(4)]
 
@@ -827,6 +910,15 @@ def build_dehw_assembly(cfg: DehwDDConfig | None = None, surfs=None):
             * (1 << max(g.glob_homo - 1, 0)),
             max(1, g.whee_numb[4]) * (1 << max(g.glob_inho + g.glob_homo - 1, 0)),
         )
+        def cart_wh_sect(c):
+            # constant-section cut surfaces: (radius, azimuth) chart — the
+            # (r, z) chart degenerates there (profile is a curve in (r, z))
+            c = np.asarray(c)
+            return np.stack(
+                [np.hypot(c[..., 0], c[..., 1]),
+                 np.arctan2(c[..., 1], c[..., 0])], axis=-1
+            )
+
         for ti in range(g.whee_teeth):
             s = whde_midd.copy()
             s.rigid_transform(_rotz(2.0 * PI / p.z[1] * ti), np.zeros(3))
@@ -834,7 +926,8 @@ def build_dehw_assembly(cfg: DehwDDConfig | None = None, surfs=None):
             regions.append(
                 make_region(
                     bodies, tv0, tv0 + 1, s.contains, s.contains,
-                    cart_wh, buck_wm, fric=-1.0, pena_n=pena_ih,
+                    cart_wh_sect if cfg.cross_corner else cart_wh,
+                    buck_wm, fric=-1.0, pena_n=pena_ih,
                     max_abs_dist=cfg.iface_max_dist,
                 )
             )
@@ -846,15 +939,29 @@ def build_dehw_assembly(cfg: DehwDDConfig | None = None, surfs=None):
         for ti in range(g.whee_teeth - 1):
             s = whde.copy()
             s.rigid_transform(_rotz(2.0 * PI / p.z[1] * ti), np.zeros(3))
-            tv0 = n_worm + 2 * ti + 1
-            regions.append(
-                make_region(
-                    bodies, tv0, tv0 + 1, s.contains, s.contains,
-                    cart_wh, buck_wh, fric=-1.0, pena_n=pena_ih,
-                    max_abs_dist=cfg.iface_max_dist,
+            if cfg.cross_corner:
+                # tooth boundary joins the SAME face group of adjacent teeth
+                for fg in range(2):
+                    tv0 = n_worm + 2 * ti + fg
+                    tv1 = n_worm + 2 * (ti + 1) + fg
+                    regions.append(
+                        make_region(
+                            bodies, tv0, tv1, s.contains, s.contains,
+                            cart_wh, buck_wh, fric=-1.0, pena_n=pena_ih,
+                            max_abs_dist=cfg.iface_max_dist,
+                        )
+                    )
+                    region_kinds.append(("whee_teeth", ti, tv0, tv1))
+            else:
+                tv0 = n_worm + 2 * ti + 1
+                regions.append(
+                    make_region(
+                        bodies, tv0, tv0 + 1, s.contains, s.contains,
+                        cart_wh, buck_wh, fric=-1.0, pena_n=pena_ih,
+                        max_abs_dist=cfg.iface_max_dist,
+                    )
                 )
-            )
-            region_kinds.append(("whee_teeth", ti, tv0, tv0 + 1))
+                region_kinds.append(("whee_teeth", ti, tv0, tv0 + 1))
 
     info = dict(
         n_worm=n_worm, n_whee=len(whee_meshes), char_leng=char_leng,
@@ -871,17 +978,19 @@ def build_dehw_assembly(cfg: DehwDDConfig | None = None, surfs=None):
 
 def finalize_dehw_problem(bodies, regions, cfg: DehwDDConfig):
     """assemble + build the device problem (DEHW.h:2266-2276)."""
-    import jax.numpy as jnp
+
 
     from ..admm.problem import build_problem
     from .simple import assemble_bodies
 
     systems = assemble_bodies(bodies, regions)
+    # V-cycle preconditioner in the standard f32 policy (utils/precision.py):
+    # an f64 hierarchy doubled HBM (and forced a separate f32 A_top copy),
+    # OOMing the 16 GB chip, for no accuracy gain — it only preconditions.
     prob, meta = build_problem(
         systems, regions,
         dole=[cfg.dole] * len(bodies),
         musc_sett=cfg.musc_sett,
         meshes=[b.mesh for b in bodies],
-        precond_dtype=jnp.float64,
     )
     return prob, meta

@@ -162,3 +162,45 @@ def test_assembly_hub_frames_orthonormal(small_assembly):
         assert b.cons_dofv.get(3 * i + 0) == 0.0
         assert b.cons_dofv.get(3 * i + 2) == 0.0
         assert 3 * i + 1 not in b.cons_dofv
+
+
+@pytest.fixture(scope="module")
+def cross_assembly():
+    g = DehwGrid(
+        worm_numb=(2, 1, 1, 2, 2), whee_numb=(2, 2, 1, 2, 2),
+        glob_inho=0, glob_homo=1, loca_leve=1,
+    )
+    cfg = DehwDDConfig(grid=g, cross_corner=True)
+    bodies, regions, info = build_dehw_assembly(cfg)
+    return cfg, bodies, regions, info
+
+
+def test_cross_corner_assembly_structure(cross_assembly):
+    """DEHW_1 (examples/DEHW_1.h:762-812): wheel teeth split by face-width
+    section groups with full-width blocks.  Same 34+18 domain totals; tooth
+    boundaries now join the SAME face group of adjacent teeth (8 teeth x 2
+    groups = 16 regions), and every contact tooth pair couples the worm
+    domains to BOTH face-group domains (DD corner crosses the zone)."""
+    cfg, bodies, regions, info = cross_assembly
+    assert info["n_worm"] == 34 and info["n_whee"] == 18
+    from collections import Counter
+
+    kinds = Counter(k[0] for k in info["region_kinds"])
+    assert kinds["worm_adj"] == 33
+    assert kinds["worm_turn"] == 26
+    assert kinds["whee_midd"] == 9       # one face-mid cut per tooth
+    assert kinds["whee_teeth"] == 16     # 8 boundaries x 2 face groups
+    # cross-corner: some tooth pair couples both face groups of its tooth
+    cont = [k for k in info["region_kinds"] if k[0] == "contact"]
+    assert cont, "at least one tooth pair in contact"
+    slaves = {k[3] for k in cont}
+    assert any(s % 2 == 1 for s in slaves) or len(slaves) > len(
+        {s // 2 for s in slaves}
+    ), f"contact must reach both face groups: {sorted(slaves)}"
+    # every perfect interface is geometrically exact
+    for r, k in zip(regions, info["region_kinds"]):
+        if k[0] == "contact":
+            continue
+        ip = r.region.ip
+        assert ip.n > 0, f"empty interface {k}"
+        assert np.abs(ip.gap).max() < 1.0e-12, k

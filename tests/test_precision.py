@@ -49,7 +49,8 @@ def test_f32_problem_dtypes():
         dole=[0] * len(model.systems), dtype=jnp.float32,
     )
     assert prob.cons_forc.dtype == jnp.float32
-    assert prob.mg.A_top.vals.dtype == jnp.float32
+    # A_top may be Ell/BlockEll/BatchBlocks(Dia) — all expose .dtype
+    assert jnp.dtype(prob.mg.A_top.dtype) == jnp.float32
     for g in prob.groups:
         assert g.Bp.vals.dtype == jnp.float32
         assert g.body_idx.dtype == jnp.int32   # ints untouched

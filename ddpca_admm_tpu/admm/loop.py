@@ -52,6 +52,7 @@ class AdmmState(NamedTuple):
     moni: jnp.ndarray                 # (cycle, n_monitors) rolling buffer
     mult_frozen: jnp.ndarray          # scalar bool (coarse correction freeze)
     inner_iters: jnp.ndarray          # total inner CG iterations
+    coarse_x: tuple                   # per coarse correction: (Nc,) warm start
     moni_hist: jnp.ndarray            # (hist_rows, n_monitors) per-iteration
     # monitor RATIOS ||d.||^2/||.||^2 accumulated ON DEVICE (hist_rows=1 when
     # recording is off — the row is just overwritten).  Deliberate deviation
@@ -141,10 +142,12 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
         # and/or B, MCONTACT.h:2540-2624); applied until the oscillation
         # monitor freezes them (MULT_MAXI semantics).  Signs are baked into
         # the stored operators (see CoarseCorrection).
+        new_coarse_x = list(state.coarse_x)
         if prob.coarse:
-            for co in prob.coarse:   # always a tuple of CoarseCorrection
+            for ci, co in enumerate(prob.coarse):   # tuple of CoarseCorrection
 
-                def apply_coarse(u, co=co):
+                def apply_coarse(args, co=co, ci=ci):
+                    u, x_prev = args
                     # tranL/tranZ are row-compacted (R,2,r_pad,k) with a
                     # scatter index into the coarse vector (padded rows
                     # produce exact zeros and scatter harmlessly to row 0)
@@ -159,11 +162,14 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
                     gf = gf + co.tranD.mv(u.reshape(-1))
                     if co.mg is not None:
                         # DOUBLE_M(_1): MG-preconditioned CG on the coarse
-                        # operator's own DD hierarchy (MCONTACT.h:1538-1670)
+                        # operator's own DD hierarchy (MCONTACT.h:1538-1670),
+                        # warm-started from the previous iteration's coarse
+                        # solution (the rhs changes little late in the run)
                         sol = pcg(
                             co.mg.A_top.mv,
                             lambda r: vcycle(co.mg, r),
                             gf[None],
+                            x0=x_prev[None],
                             rtol=inner_rtol,
                             maxiter=500,
                         ).x[0]
@@ -172,10 +178,13 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
                         sol = co.inv @ gf
                         sol = sol + co.inv @ (gf - co.mat @ sol)
                     du = co.accu.mv(sol).reshape(u.shape)
-                    return u + du
+                    return u + du, sol
 
-                u = jax.lax.cond(
-                    state.mult_frozen, lambda v: v, apply_coarse, u
+                u, new_coarse_x[ci] = jax.lax.cond(
+                    state.mult_frozen,
+                    lambda args: args,
+                    apply_coarse,
+                    (u, state.coarse_x[ci]),
                 )
 
         new_groups = []
@@ -268,6 +277,7 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
             moni=moni,
             mult_frozen=mult_frozen,
             inner_iters=state.inner_iters + inner_it,
+            coarse_x=tuple(new_coarse_x),
             moni_hist=moni_hist,
         )
 
@@ -298,6 +308,9 @@ def init_state(prob: AdmmProblem, hist_rows: int = 1) -> AdmmState:
         moni=jnp.full((ADMM_MONI_CYCLE, n_moni), jnp.inf, dtype),
         mult_frozen=jnp.zeros((), bool),
         inner_iters=jnp.zeros((), jnp.int32),
+        coarse_x=tuple(
+            jnp.zeros(co.forc0.shape, dtype) for co in (prob.coarse or ())
+        ),
         moni_hist=jnp.full((hist_rows, n_moni), jnp.inf, dtype),
     )
 

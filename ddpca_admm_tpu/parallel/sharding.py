@@ -38,7 +38,7 @@ _PROBLEM_REPLICATED_FIELDS = frozenset({"groups", "coarse"})
 _STATE_DOMAIN_FIELDS = frozenset({"u"})
 _STATE_REPLICATED_FIELDS = frozenset(
     {"groups", "it", "converged", "moni", "mult_frozen", "inner_iters",
-     "moni_hist"}
+     "coarse_x", "moni_hist"}
 )
 
 

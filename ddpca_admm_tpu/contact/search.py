@@ -43,6 +43,11 @@ class IntegralPoints:
     gap: np.ndarray        # (n,) initial normal gap
     weight: np.ndarray     # (n,) quadrature weight (incl. area Jacobian)
     pair: np.ndarray       # (n,) candidate-pair index (diagnostics)
+    # accepted candidate pairs in SEARCH ORDER, pre point-filter: (2, P, 4)
+    # master/slave face node quadruples (OUTPUT_COSE parity — the reference
+    # writes every paired segment, CSEARCH.h:178-203, even when all of its
+    # integration points are later dropped)
+    seg_nodes: np.ndarray | None = None
 
     @property
     def n(self) -> int:
@@ -281,6 +286,9 @@ def region_search(
     pair_min = np.full(nP, np.inf)
     np.minimum.at(pair_min, pair_idx, gap)
     keep_pair = pair_min <= max_dist
+    seg_nodes = np.stack(
+        [mast_faces[pm[keep_pair]], slav_faces[ps[keep_pair]]]
+    )
     keep = keep_pair[pair_idx]
     pair_idx = pair_idx[keep]
     mast_xi, slav_xi = mast_xi[keep], slav_xi[keep]
@@ -298,6 +306,7 @@ def region_search(
         points=np.stack([mpts, spts]),
         basis=basis,
         gap=gap,
+        seg_nodes=seg_nodes,
         weight=weight,
         pair=pair_idx,
     )

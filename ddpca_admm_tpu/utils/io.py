@@ -171,11 +171,18 @@ def write_aula(outdir: str, z: np.ndarray, lam: np.ndarray, scalar: bool,
 
 def write_segments(outdir: str, ip, ident: int) -> None:
     """OUTPUT_COSE (CSEARCH.h:178-203): the 4 node ids of every master /
-    slave face participating in the region (derived from the integral-point
-    records: unique face node-quadruples per side, in first-seen order)."""
+    slave face participating in the region, in SEARCH order — taken from the
+    accepted candidate-pair records (``ip.seg_nodes``), so faces whose
+    integration points were later filtered still appear, exactly like the
+    reference's per-pair output; falls back to the surviving integral-point
+    quadruples (first-seen order) for legacy IntegralPoints."""
     os.makedirs(outdir, exist_ok=True)
     for side in (0, 1):
-        nodes = np.asarray(ip.nodes[side])
+        nodes = np.asarray(
+            ip.nodes[side]
+            if getattr(ip, "seg_nodes", None) is None
+            else ip.seg_nodes[side]
+        )
         if nodes.size:
             _, first = np.unique(nodes, axis=0, return_index=True)
             faces = nodes[np.sort(first)]

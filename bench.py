@@ -108,6 +108,16 @@ def main() -> None:
     t0 = time.perf_counter()
     prob, meta = build(glob_leve)
     RESULT["setup_s"] = round(time.perf_counter() - t0, 2)
+    seen: set = set()
+    RESULT["problem_gb"] = round(
+        sum(
+            (seen.add(id(x)) or x.nbytes)
+            for x in jax.tree_util.tree_leaves(prob)
+            if hasattr(x, "nbytes") and id(x) not in seen
+        )
+        / 1e9,
+        2,
+    )
     modes = tuple(meta.group_modes)
 
     # run 1: jit compile + first convergence (chunked single-step dispatch;

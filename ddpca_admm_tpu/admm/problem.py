@@ -176,7 +176,18 @@ def build_problem(
         gram_lin[b, :nb] = s.expand.T @ s.expand_const
         gram_const[b] = float(s.expand_const @ s.expand_const)
         u_mask[b, :nb] = True
-    gram = device_sparse(gram_mats, n_pad, n_pad)
+    if all((G - sp.diags(G.diagonal())).nnz == 0 for G in gram_mats):
+        # grid-mode expand is permutation x mask x prolongation-free, so
+        # X^T X is exactly diagonal — store as a 1-offset Dia (no gather,
+        # ~100x smaller than the ELL at the 8.8M-DOF scale)
+        from ..sparse.dia import Dia as _Dia
+
+        gd = np.ones((B, n_pad))
+        for b, G in enumerate(gram_mats):
+            gd[b, : G.shape[0]] = G.diagonal()
+        gram = _Dia(_jnp.asarray(gd[:, None, :]), (0,), n_pad)
+    else:
+        gram = device_sparse(gram_mats, n_pad, n_pad)
 
     # Group regions by DOF mode, then split each mode into SIZE BUCKETS:
     # every group is padded to its largest member, so one group spanning a

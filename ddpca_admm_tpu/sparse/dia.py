@@ -30,22 +30,38 @@ import scipy.sparse as sp
 
 @jax.tree_util.register_pytree_node_class
 class Dia:
-    """Batched DIA matrix; vals (..., D, n), offsets static tuple."""
+    """Batched DIA matrix; vals (..., D, n_active), offsets static tuple.
 
-    def __init__(self, vals, offsets: tuple[int, ...], n_cols: int):
+    Rows beyond ``n_active`` (the padded tail up to ``n_rows``) store NO
+    values: the tail acts as identity (hierarchy padding convention) or zero
+    (``tail_identity=False``, used by the transfer stencils) — storing
+    explicit tail values wasted ~1 GB of zeros for small-body groups padded
+    to the batch maximum at the 8.8M-DOF scale."""
+
+    def __init__(self, vals, offsets: tuple[int, ...], n_rows: int,
+                 tail_identity: bool = True):
         self.vals = vals
         self.offsets = tuple(int(o) for o in offsets)
-        self.n_cols = int(n_cols)
+        self._n_rows = int(n_rows)
+        self.tail_identity = bool(tail_identity)
 
     def tree_flatten(self):
-        return (self.vals,), (self.offsets, self.n_cols)
+        return (self.vals,), (self.offsets, self._n_rows, self.tail_identity)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0], aux[1])
+        return cls(children[0], aux[0], aux[1], aux[2])
 
     @property
     def n_rows(self) -> int:
+        return self._n_rows
+
+    @property
+    def n_cols(self) -> int:
+        return self._n_rows
+
+    @property
+    def n_active(self) -> int:
         return self.vals.shape[-1]
 
     @property
@@ -56,19 +72,27 @@ class Dia:
         """y = A @ x; batch axes broadcast against the matrix's batch axes.
         Square case (n_rows == n_cols) with per-offset aligned values."""
         batch = jnp.broadcast_shapes(self.vals.shape[:-2], x.shape[:-1])
-        n = self.n_rows
-        xb = jnp.broadcast_to(x, batch + (self.n_cols,))
+        n = self._n_rows
+        na = self.n_active
+        xb = jnp.broadcast_to(x, batch + (n,))
         vals = jnp.broadcast_to(self.vals, batch + self.vals.shape[-2:])
         lo = min(self.offsets + (0,))
         hi = max(self.offsets + (0,))
         pad = [(0, 0)] * len(batch) + [(-lo, hi)]
         xp = jnp.pad(xb, pad)
-        y = jnp.zeros(batch + (n,), jnp.promote_types(self.dtype, x.dtype))
+        y = jnp.zeros(batch + (na,), jnp.promote_types(self.dtype, x.dtype))
         for d, off in enumerate(self.offsets):
             start = off - lo
-            win = jax.lax.slice_in_dim(xp, start, start + n, axis=-1)
+            win = jax.lax.slice_in_dim(xp, start, start + na, axis=-1)
             y = y + vals[..., d, :] * win
-        return y
+        if na == n:
+            return y
+        tail = (
+            xb[..., na:]
+            if self.tail_identity
+            else jnp.zeros(batch + (n - na,), y.dtype)
+        )
+        return jnp.concatenate([y, tail], axis=-1)
 
     def nbytes(self) -> int:
         return self.vals.nbytes
@@ -90,10 +114,21 @@ def dia_from_csr_list(
     offsets: np.ndarray | None = None,
     pad_identity: bool = True,
 ) -> Dia:
-    """Stack square matrices as a batched Dia padded to ``n_rows`` (padded
-    rows are zero everywhere except a unit diagonal so they stay decoupled
-    identity, matching the hierarchy's padding convention)."""
+    """Stack square matrices as a batched Dia padded to ``n_rows``.  The
+    padded tail (and any trailing identity block the caller already appended)
+    is NOT stored: Dia.mv treats rows past ``n_active`` as identity
+    (``pad_identity=True``, hierarchy convention) or zero."""
     n = n_rows or max(m.shape[0] for m in mats)
+    coos = [m.tocoo() for m in mats]
+    # active range: rows that are anything but a bare 1.0 diagonal
+    n_act = 1
+    for c in coos:
+        nontrivial = (c.col != c.row) | (c.data != 1.0)
+        if nontrivial.any():
+            n_act = max(n_act, int(c.row[nontrivial].max()) + 1)
+        if not pad_identity and c.row.size:
+            n_act = max(n_act, int(c.row.max()) + 1)
+    n_act = min(n, n_act)
     if offsets is None:
         offsets = dia_offsets(mats)
     if 0 not in offsets:
@@ -101,12 +136,21 @@ def dia_from_csr_list(
     offsets = np.asarray(offsets, np.int64)
     zero_slot = int(np.searchsorted(offsets, 0))
     B = len(mats)
-    vals = np.zeros((B, offsets.size, n), dtype)
-    for b, m in enumerate(mats):
-        c = m.tocoo()
-        k = np.searchsorted(offsets, c.col.astype(np.int64) - c.row)
-        np.add.at(vals[b], (k, c.row), c.data.astype(dtype))
+    vals = np.zeros((B, offsets.size, n_act), dtype)
+    for b, c in enumerate(coos):
+        keep = c.row < n_act
+        k = np.searchsorted(
+            offsets, c.col[keep].astype(np.int64) - c.row[keep]
+        )
+        np.add.at(vals[b], (k, c.row[keep]), c.data[keep].astype(dtype))
         if pad_identity:
-            # unit diagonal on padded rows (hierarchy convention)
-            vals[b, zero_slot, m.shape[0]:] = 1.0
-    return Dia(jnp.asarray(vals), tuple(int(o) for o in offsets), n)
+            # unit diagonal on stored-but-inactive rows of SMALLER batch
+            # members (their tail within n_act must stay decoupled identity
+            # unless the matrix itself provided it)
+            m_n = mats[b].shape[0]
+            if m_n < n_act:
+                vals[b, zero_slot, m_n:] = 1.0
+    return Dia(
+        jnp.asarray(vals), tuple(int(o) for o in offsets), n,
+        tail_identity=pad_identity,
+    )

@@ -303,9 +303,31 @@ def build_hierarchy(
                 tuple(build_one(a, b) for a, b in bounds), tuple(bounds)
             )
 
+    def _bell_fits(mats, n_rows, n_cols):
+        # BlockEll beats DIA when its tiles fit the byte budget (one MXU
+        # einsum vs D latency-bound shifted multiply-adds); DIA is the
+        # at-scale fallback where tiles would blow HBM
+        from ..sparse.bell import BELL_MAX_BYTES, CB, RB, _max_slots
+
+        S = _max_slots(mats, round_up(n_cols, CB))
+        entries = len(mats) * (round_up(n_rows, RB) // RB) * S * RB * CB
+        return entries * 4 <= BELL_MAX_BYTES
+
     dev_levels = []
     for l, lv in enumerate(levels):
-        if structured:
+        if structured and _bell_fits(lv["mats"], lv["n_pad"], lv["n_pad"]):
+            # small enough for the tile kernel: use the generic path for
+            # this level (A and transfers both)
+            if l > 0:
+                n_fine, n_coar = lv["n_pad"], levels[l - 1]["n_pad"]
+                P = device_sparse(lv["pmats"], n_fine, n_coar, dtype)
+                Pt = device_sparse(
+                    [m.T.tocsr() for m in lv["pmats"]], n_coar, n_fine, dtype
+                )
+            else:
+                P = Pt = None
+            A = device_sparse(lv["mats"], lv["n_pad"], lv["n_pad"], dtype)
+        elif structured:
             from ..sparse.dia import dia_from_csr_list as _dia
 
             np_dtype = np.dtype(jnp.dtype(dtype).name)
@@ -367,6 +389,12 @@ def build_hierarchy(
     sd = a_top_dtype if a_top_dtype is not None else solve_dtype()
     if jnp.dtype(sd) == jnp.dtype(dtype):
         A_top = dev_levels[-1].A
+    elif structured and _bell_fits(
+        levels[-1]["mats"], levels[-1]["n_pad"], levels[-1]["n_pad"]
+    ):
+        A_top = device_sparse(
+            levels[-1]["mats"], levels[-1]["n_pad"], levels[-1]["n_pad"], sd
+        )
     elif structured:
         from ..sparse.dia import dia_from_csr_list as _dia
 

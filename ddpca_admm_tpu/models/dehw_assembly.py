@@ -808,9 +808,12 @@ def build_dehw_assembly(cfg: DehwDDConfig | None = None, surfs=None):
     for b in bodies[n_worm:]:
         subr_colo_whee(b, p, load_incr[1], driving)
 
-    # ---- regions: mu = 0.2 driving worm, 0.08 self-locking
-    # (DEHW.h:1619: coloSett==1 means self-locking -> 0.08)
-    fric = 0.2 if driving else 0.08
+    # ---- regions: mu = 0.08 driving worm, 0.2 self-locking.  The driver's
+    # ISNO_SELO menu returns 1-caid (DEHW.cpp:169-180), so menu 0 "driving
+    # worm" is coloSett==1: worm hub loaded, wheel hub fixed (DEHW.h:183-258,
+    # 325-338) and fricCoef = 0.08 (DEHW.h:1619); the self-locking analysis
+    # (wheel driven) uses 0.2.
+    fric = 0.08 if driving else 0.2
     mu_e = 0.5 * (cfg.e_worm + cfg.e_whee)
     pena_iw = cfg.e_worm * cfg.char_fact / char_leng
     pena_ih = cfg.e_whee * cfg.char_fact / char_leng

@@ -329,11 +329,21 @@ def build_hierarchy(
             A = device_sparse(lv["mats"], lv["n_pad"], lv["n_pad"], dtype)
         elif structured:
             from ..sparse.dia import dia_from_csr_list as _dia
+            from ..sparse.dia import plane_dia_from_csr_list as _pdia
 
             np_dtype = np.dtype(jnp.dtype(dtype).name)
+
+            def _dia_auto(mats, shape, n_rows, dt, pad_identity=True):
+                # per-z-plane dedup first (10-25x smaller at the 8.8M-DOF
+                # scale); plain Dia when the planes don't compress
+                pd = _pdia(mats, shape, n_rows, dt, pad_identity=pad_identity)
+                if pd is not None:
+                    return pd
+                return _dia(mats, n_rows, dt, pad_identity=pad_identity)
+
             A = _grouped(
-                lambda a, b, lv=lv: _dia(
-                    lv["mats"][a:b], lv["n_pad"], np_dtype
+                lambda a, b, lv=lv, l=l: _dia_auto(
+                    lv["mats"][a:b], grids[a].shapes[l], lv["n_pad"], np_dtype
                 )
             )
             if l > 0:
@@ -347,7 +357,9 @@ def build_hierarchy(
                             real_prol[bb][l - 1], grids[bb].zmaps[l - 1]
                         )
                         mats.append(S.T.tocsr() if transpose else S)
-                    Sd = _dia(mats, n_f, np_dtype, pad_identity=False)
+                    Sd = _dia_auto(
+                        mats, g0.shapes[l], n_f, np_dtype, pad_identity=False
+                    )
                     fshape = g0.shapes[l]
                     cshape = g0.shapes[l - 1]
                     strides = g0.strides[l - 1]
@@ -396,12 +408,10 @@ def build_hierarchy(
             levels[-1]["mats"], levels[-1]["n_pad"], levels[-1]["n_pad"], sd
         )
     elif structured:
-        from ..sparse.dia import dia_from_csr_list as _dia
-
         A_top = _grouped(
-            lambda a, b: _dia(
-                levels[-1]["mats"][a:b], levels[-1]["n_pad"],
-                np.dtype(jnp.dtype(sd).name),
+            lambda a, b: _dia_auto(
+                levels[-1]["mats"][a:b], grids[a].shapes[-1],
+                levels[-1]["n_pad"], np.dtype(jnp.dtype(sd).name),
             )
         )
     else:

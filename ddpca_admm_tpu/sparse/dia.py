@@ -98,6 +98,162 @@ class Dia:
         return self.vals.nbytes
 
 
+@jax.tree_util.register_pytree_node_class
+class PlaneDia:
+    """Per-z-plane-deduplicated batched DIA for uniform structured grids.
+
+    A hex8 stiffness (or transfer stencil) on a uniform grid in
+    coordinate-lex order is translation-invariant along z except on special
+    planes (grid boundary, Dirichlet mask, contact-penalty faces): the
+    (D, P)-slab of diagonal values for one z-plane of nodes (P = 3*ny*nx
+    dofs) takes only a handful of DISTINCT values over z.  Storing one slab
+    per equivalence class plus an int32 class id per (body, plane) cuts the
+    8.8M-DOF finest level from ~139 MB/body to ~15 MB/body — the difference
+    between OOM and fitting the 16 GB chip (round-4 RESOURCE_EXHAUSTED,
+    artifacts/bench_full_r4_partial.json).
+
+    vals: (D, C, P) unique value slabs; kz: (B, nz) class per plane.  The
+    SpMV gathers whole value ROWS per (body, plane, offset) — the one gather
+    shape XLA lowers efficiently on TPU (sparse/bell.py provenance) — so it
+    runs at DIA speed while reading C slabs instead of nz.
+    """
+
+    def __init__(self, vals, kz, offsets: tuple[int, ...], n_rows: int,
+                 plane: int, tail_identity: bool = True):
+        self.vals = vals          # (D, C, P)
+        self.kz = kz              # (B, nz) int32
+        self.offsets = tuple(int(o) for o in offsets)
+        self._n_rows = int(n_rows)
+        self.plane = int(plane)
+        self.tail_identity = bool(tail_identity)
+
+    def tree_flatten(self):
+        return (self.vals, self.kz), (
+            self.offsets, self._n_rows, self.plane, self.tail_identity
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    @property
+    def n_rows(self) -> int:
+        return self._n_rows
+
+    @property
+    def n_cols(self) -> int:
+        return self._n_rows
+
+    @property
+    def n_active(self) -> int:
+        return self.kz.shape[-1] * self.plane
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        nz = self.kz.shape[-1]
+        P = self.plane
+        na = nz * P
+        n = self._n_rows
+        batch = jnp.broadcast_shapes(self.kz.shape[:-1], x.shape[:-1])
+        xb = jnp.broadcast_to(x, batch + (n,))
+        kzb = jnp.broadcast_to(self.kz, batch + (nz,))
+        lo = min(self.offsets + (0,))
+        hi = max(self.offsets + (0,))
+        pad = [(0, 0)] * len(batch) + [(-lo, hi)]
+        xp = jnp.pad(xb[..., :na], pad)
+        out_dtype = jnp.promote_types(self.dtype, x.dtype)
+        y = jnp.zeros(batch + (nz, P), out_dtype)
+        for d, off in enumerate(self.offsets):
+            start = off - lo
+            win = jax.lax.slice_in_dim(xp, start, start + na, axis=-1)
+            win = win.reshape(batch + (nz, P))
+            Vd = jnp.take(self.vals[d], kzb, axis=0)   # fast row gather
+            y = y + Vd * win
+        y = y.reshape(batch + (na,))
+        if na == n:
+            return y
+        tail = (
+            xb[..., na:]
+            if self.tail_identity
+            else jnp.zeros(batch + (n - na,), y.dtype)
+        )
+        return jnp.concatenate([y, tail], axis=-1)
+
+    def nbytes(self) -> int:
+        return self.vals.nbytes + self.kz.nbytes
+
+
+def plane_dia_from_csr_list(
+    mats: Sequence[sp.spmatrix],
+    shape: tuple[int, int, int],
+    n_rows: int,
+    dtype=np.float32,
+    offsets: np.ndarray | None = None,
+    pad_identity: bool = True,
+    max_classes: int = 64,
+) -> "PlaneDia | None":
+    """Build a PlaneDia for a batch of same-grid matrices, or None when the
+    plane population does not compress (> ``max_classes`` distinct slabs —
+    the caller falls back to plain Dia).  ``shape`` = (nz, ny, nx) node grid;
+    active rows are exactly 3*nz*ny*nx, anything beyond (hierarchy padding)
+    follows the Dia tail convention."""
+    import hashlib
+
+    nz, ny, nx = (int(s) for s in shape)
+    P = 3 * ny * nx
+    n_act = nz * P
+    if n_act > n_rows or n_act == 0:
+        return None
+    if offsets is None:
+        offsets = dia_offsets(mats)
+    if 0 not in offsets:
+        offsets = np.sort(np.append(offsets, 0))
+    offsets = np.asarray(offsets, np.int64)
+    D = offsets.size
+    B = len(mats)
+    kz = np.zeros((B, nz), np.int32)
+    classes: dict[bytes, int] = {}
+    slabs: list[np.ndarray] = []
+    for b, m in enumerate(mats):
+        c = m.tocoo()
+        if m.shape[0] > n_act:
+            # hierarchy padding must be a bare unit diagonal
+            tail = c.row >= n_act
+            if not (
+                (c.col[tail] == c.row[tail]).all()
+                and (c.data[tail] == 1.0).all()
+            ):
+                return None
+        vals = np.zeros((D, n_act), dtype)
+        keep = c.row < n_act
+        k = np.searchsorted(
+            offsets, c.col[keep].astype(np.int64) - c.row[keep]
+        )
+        np.add.at(vals, (k, c.row[keep]), c.data[keep].astype(dtype))
+        if pad_identity and m.shape[0] < n_act:
+            zero_slot = int(np.searchsorted(offsets, 0))
+            vals[zero_slot, m.shape[0]:] = 1.0
+        v3 = vals.reshape(D, nz, P)
+        for z in range(nz):
+            slab = np.ascontiguousarray(v3[:, z, :])
+            key = hashlib.blake2b(slab.tobytes(), digest_size=16).digest()
+            cid = classes.setdefault(key, len(slabs))
+            if cid == len(slabs):
+                slabs.append(slab)
+                if len(slabs) > max_classes:
+                    return None
+            kz[b, z] = cid
+    pvals = np.stack(slabs, axis=1)   # (D, C, P)
+    return PlaneDia(
+        jnp.asarray(pvals), jnp.asarray(kz),
+        tuple(int(o) for o in offsets), n_rows, P,
+        tail_identity=pad_identity,
+    )
+
+
 def dia_offsets(mats: Sequence[sp.spmatrix]) -> np.ndarray:
     """Union of col-row offsets over a batch of square matrices."""
     offs = [np.zeros(0, np.int64)]

@@ -154,6 +154,13 @@ def main() -> None:
         if ref and ref.get("it_per_s"):
             RESULT["vs_baseline"] = round(RESULT["value"] / ref["it_per_s"], 3)
             RESULT["baseline_it"] = ref.get("admm_iterations")
+            # wall-clock honesty: it/s can flatter a run that needs more
+            # iterations than the reference; report the time-to-solution
+            # ratio alongside (>1 = faster than the reference end to end)
+            bt = ref["admm_iterations"] / ref["it_per_s"]
+            RESULT["time_to_solution_s"] = RESULT["solve_s"]
+            RESULT["baseline_time_s"] = round(bt, 3)
+            RESULT["vs_baseline_time"] = round(bt / max(dt, 1e-9), 3)
     except (OSError, ValueError):
         pass
     emit()

@@ -120,7 +120,7 @@ class PlaneDia:
 
     def __init__(self, vals, kz, offsets: tuple[int, ...], n_rows: int,
                  plane: int, tail_identity: bool = True):
-        self.vals = vals          # (D, C, P)
+        self.vals = vals          # (C, D, P)
         self.kz = kz              # (B, nz) int32
         self.offsets = tuple(int(o) for o in offsets)
         self._n_rows = int(n_rows)
@@ -153,6 +153,15 @@ class PlaneDia:
         return self.vals.dtype
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        if os.environ.get("DDPCA_PALLAS", "1") != "0":
+            import jax as _jax
+
+            from .pallas_dia import pallas_eligible, plane_dia_mv_pallas
+
+            if _jax.default_backend() != "cpu" and pallas_eligible(self, x):
+                return plane_dia_mv_pallas(self, x)
         nz = self.kz.shape[-1]
         P = self.plane
         na = nz * P
@@ -170,7 +179,7 @@ class PlaneDia:
             start = off - lo
             win = jax.lax.slice_in_dim(xp, start, start + na, axis=-1)
             win = win.reshape(batch + (nz, P))
-            Vd = jnp.take(self.vals[d], kzb, axis=0)   # fast row gather
+            Vd = jnp.take(self.vals[:, d, :], kzb, axis=0)  # fast row gather
             y = y + Vd * win
         y = y.reshape(batch + (na,))
         if na == n:
@@ -246,7 +255,7 @@ def plane_dia_from_csr_list(
                 if len(slabs) > max_classes:
                     return None
             kz[b, z] = cid
-    pvals = np.stack(slabs, axis=1)   # (D, C, P)
+    pvals = np.stack(slabs, axis=0)   # (C, D, P)
     return PlaneDia(
         jnp.asarray(pvals), jnp.asarray(kz),
         tuple(int(o) for o in offsets), n_rows, P,

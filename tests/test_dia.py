@@ -63,7 +63,7 @@ def test_plane_dia_dedups_repeated_planes():
     # first plane, last plane, interior-adjacent-to-first/last, interior:
     # construction guarantees <= 5 distinct slabs (boundary-truncated offsets
     # make z=1 and z=nz-2 differ from deep interior)
-    assert pd.vals.shape[1] <= 5 < nz
+    assert pd.vals.shape[0] <= 5 < nz   # vals is (C, D, P)
     x = rng.standard_normal(n)
     np.testing.assert_allclose(
         np.asarray(pd.mv(x))[0], mats[0] @ x, rtol=1e-12, atol=1e-12
@@ -132,3 +132,26 @@ def test_structured_plane_dia_solve_matches_bell(monkeypatch):
     ud = np.asarray(st.u)
     scale = np.abs(ur).max()
     assert np.abs(ud - ur).max() <= 1e-6 * scale
+
+
+def test_plane_dia_pallas_interpret_matches_jnp():
+    """The Pallas kernel (interpret mode on CPU) must match the jnp path."""
+    from ddpca_admm_tpu.sparse.pallas_dia import (
+        pallas_eligible,
+        plane_dia_mv_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    nz, ny, nx = 10, 3, 2
+    mats = [_banded_grid_matrix(nz, ny, nx, rng) for _ in range(3)]
+    n = mats[0].shape[0]
+    n_pad = n + 64
+    padded = [sp.block_diag([m, sp.identity(64)], format="csr") for m in mats]
+    pd = plane_dia_from_csr_list(padded, (nz, ny, nx), n_pad, np.float32,
+                                 max_classes=3 * nz + 2)
+    assert pd is not None
+    x = rng.standard_normal((3, n_pad)).astype(np.float32)
+    assert pallas_eligible(pd, x)
+    y_ref = np.asarray(pd.mv(x))
+    y_pal = np.asarray(plane_dia_mv_pallas(pd, x, interpret=True))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-6, atol=1e-6)

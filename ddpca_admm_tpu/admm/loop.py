@@ -155,6 +155,8 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
             for ci, co in enumerate(prob.coarse):   # tuple of CoarseCorrection
 
                 def apply_coarse(args, co=co, ci=ci):
+                    from .multiscale import ComposedAccu, ComposedTranD
+
                     u, x_prev = args
                     # tranL/tranZ are row-compacted (R,2,r_pad,k) with a
                     # scatter index into the coarse vector (padded rows
@@ -167,7 +169,11 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
                         for gs, tz, ti in zip(state.groups, co.tranZ,
                                               co.tranZ_idx):
                             gf = gf.at[ti.ravel()].add(tz.mv(gs.z).ravel())
-                    gf = gf + co.tranD.mv(u.reshape(-1))
+                    if isinstance(co.tranD, ComposedTranD):
+                        # F^T A u through the hierarchy (A_top + Pt chain)
+                        gf = gf + co.tranD.apply(mg, u)
+                    else:
+                        gf = gf + co.tranD.mv(u.reshape(-1))
                     if co.mg is not None:
                         # DOUBLE_M(_1): MG-preconditioned CG on the coarse
                         # operator's own DD hierarchy (MCONTACT.h:1538-1670),
@@ -185,7 +191,10 @@ def make_admm_step(prob: AdmmProblem, modes: tuple[str, ...],
                         # inverse apply + one f64 refinement step
                         sol = co.inv @ gf
                         sol = sol + co.inv @ (gf - co.mat @ sol)
-                    du = co.accu.mv(sol).reshape(u.shape)
+                    if isinstance(co.accu, ComposedAccu):
+                        du = co.accu.apply(mg, sol)   # P chain from dole
+                    else:
+                        du = co.accu.mv(sol).reshape(u.shape)
                     return u + du, sol
 
                 u, new_coarse_x[ci] = jax.lax.cond(

@@ -81,6 +81,75 @@ class CoarseCorrection(NamedTuple):
     mg: MgHierarchy | None = None   # DOUBLE_M(_1) DD hierarchy, or None
 
 
+import jax
+
+
+@jax.tree_util.register_pytree_node_class
+class ComposedTranD:
+    """globTran_D_1 action computed THROUGH the multigrid hierarchy instead
+    of materialized.  The dominant block of globTran_D_1 is F^T A_finest
+    (MCONTACT.h:1880-1906) — at the 8.8M-DOF scale its ELL is 3.6 GB
+    (artifacts/probe_full_breakdown.json) while F^T is exactly the product
+    of realProl transposes the hierarchy already stores as Pt operators.
+    So:  -F^T(A u) = -(Pt chain)(A_top.mv(u)), plus the materialized region
+    coupling part (interface-local rows only, small).
+
+    ``level`` (static) is the coarse level dole; ``idx``/``mask`` map the
+    restricted per-body (B, n_dole_pad) layout into the stacked coarse
+    vector (Nc_pad,)."""
+
+    def __init__(self, reg, idx, mask, level: int):
+        self.reg = reg        # Ell (Nc_pad, B*n_pad) region part, sign baked
+        self.idx = idx        # (Nc_pad,) int32 into flattened (B*n_dole_pad)
+        self.mask = mask      # (Nc_pad,) 0/1 in solve dtype
+        self.level = int(level)
+
+    def tree_flatten(self):
+        return (self.reg, self.idx, self.mask), (self.level,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+    def apply(self, mg: "MgHierarchy", u: jnp.ndarray) -> jnp.ndarray:
+        y = mg.A_top.mv(u)                                # (B, n_pad)
+        for l in range(len(mg.levels) - 1, self.level, -1):
+            y = mg.levels[l].Pt.mv(y)
+        part_a = -jnp.take(y.reshape(-1), self.idx) * self.mask
+        return part_a + self.reg.mv(u.reshape(-1))
+
+
+@jax.tree_util.register_pytree_node_class
+class ComposedAccu:
+    """accuProl action through the hierarchy: du = F sol = (P chain) applied
+    to the coarse solution scattered into the per-body level-dole layout —
+    replaces the materialized block-diagonal F (0.7 GB at 8.8M DOF)."""
+
+    def __init__(self, idx, mask, level: int, n_dole_pad: int, n_bodies: int):
+        self.idx = idx
+        self.mask = mask
+        self.level = int(level)
+        self.n_dole_pad = int(n_dole_pad)
+        self.n_bodies = int(n_bodies)
+
+    def tree_flatten(self):
+        return (self.idx, self.mask), (
+            self.level, self.n_dole_pad, self.n_bodies
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def apply(self, mg: "MgHierarchy", sol: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.zeros((self.n_bodies * self.n_dole_pad,), sol.dtype)
+        y = y.at[self.idx].add(sol * self.mask)
+        y = y.reshape(self.n_bodies, self.n_dole_pad)
+        for l in range(self.level + 1, len(mg.levels)):
+            y = mg.levels[l].P.mv(y)
+        return y                                          # (B, n_pad)
+
+
 class _SparseAccum:
     """COO accumulator for the global coarse operator (kept sparse so the
     DOUBLE_M path scales past DIRE_MAXI without densifying)."""
@@ -270,8 +339,17 @@ def build_coarse_correction(
     group_region_idx: Sequence[Sequence[int]],
     m_pads: Sequence[int],
     coarse_solver: str = "auto",
+    compose_n_dole_pad: int | None = None,
 ) -> CoarseCorrection:
+    """``compose_n_dole_pad``: when set (the structured/uniform-dole path),
+    the F^T A block of globTran_D_1 and the accuProl are NOT materialized —
+    the loop computes them through the hierarchy's A_top/Pt/P operators
+    (ComposedTranD / ComposedAccu); the value is the padded per-body row
+    count of hierarchy level dole."""
     B = len(systems)
+    compose = compose_n_dole_pad is not None
+    if compose:
+        assert len(set(dole)) == 1, "composed path requires uniform dole"
     G_sp, F, base, XF = glob_coup_1(systems, regions, dole)
     nc = [F[v].shape[1] for v in range(B)]
     Nc = int(base[-1])
@@ -280,11 +358,12 @@ def build_coarse_correction(
     # ---- globTran_D_1 (MCONTACT.h:1868-2055), acting on stacked reduced u
     rows_td = []
     for v in range(B):
-        # part a: block row v: F^T A_L, cols in body v's slot
         blocks = [sp.csr_matrix((nc[v], n_pad)) for _ in range(B)]
-        part_a = (F[v].T @ systems[v].cons_stif[-1]).tocsr()
-        part_a.resize((nc[v], n_pad))
-        blocks[v] = part_a
+        if not compose:
+            # part a: block row v: F^T A_L, cols in body v's slot
+            part_a = (F[v].T @ systems[v].cons_stif[-1]).tocsr()
+            part_a.resize((nc[v], n_pad))
+            blocks[v] = part_a
         rows_td.append(blocks)
     for r in regions:
         for s in (0, 1):
@@ -332,23 +411,40 @@ def build_coarse_correction(
         tranL_groups.append(ell)
         tranL_idx_groups.append(ridx)
 
-    # ---- accuProl: stacked du = accu @ sol
-    accu_blocks = []
-    for v in range(B):
-        Fv = F[v].tocsr().copy()
-        Fv.resize((n_pad, nc[v]))
-        accu_blocks.append(Fv)
-    accu = sp.block_diag(accu_blocks, format="csr")  # (B*n_pad, Nc)
-
     Nc_pad = round_up(Nc, 128)
+    if compose:
+        ndp = int(compose_n_dole_pad)
+        idx = np.zeros(Nc_pad, np.int32)
+        mask = np.zeros(Nc_pad, np.float64)
+        for v in range(B):
+            idx[base[v]: base[v + 1]] = v * ndp + np.arange(nc[v])
+            mask[base[v]: base[v + 1]] = 1.0
+        tranD_op = ComposedTranD(
+            device_sparse([(-tranD).tocsr()], Nc_pad, B * n_pad),
+            jnp.asarray(idx), jnp.asarray(mask), int(dole[0]),
+        )
+        accu_op = ComposedAccu(
+            jnp.asarray(idx), jnp.asarray(mask), int(dole[0]), ndp, B
+        )
+    else:
+        tranD_op = device_sparse(
+            [(-tranD).tocsr()], Nc_pad, B * n_pad  # sign baked in
+        )
+        # ---- accuProl: stacked du = accu @ sol
+        accu_blocks = []
+        for v in range(B):
+            Fv = F[v].tocsr().copy()
+            Fv.resize((n_pad, nc[v]))
+            accu_blocks.append(Fv)
+        accu = sp.block_diag(accu_blocks, format="csr")  # (B*n_pad, Nc)
+        accu_op = device_sparse([accu], B * n_pad, Nc_pad)
+
     return CoarseCorrection(
         inv=inv,
         mat=mat,
         forc0=jnp.asarray(np.pad(forc0, (0, Nc_pad - Nc))),
-        tranD=device_sparse(
-            [(-tranD).tocsr()], Nc_pad, B * n_pad  # sign baked in
-        ),
-        accu=device_sparse([accu], B * n_pad, Nc_pad),
+        tranD=tranD_op,
+        accu=accu_op,
         tranL=tuple(tranL_groups),
         tranL_idx=tuple(tranL_idx_groups),
         tranZ=None,

@@ -332,11 +332,32 @@ def build_problem(
                     )
                 )
         if musc_sett & 2:
+            # LARGE structured uniform-dole problems compute the F^T A /
+            # accuProl actions through the hierarchy (ComposedTranD /
+            # ComposedAccu) instead of materializing them — 4.3 GB of the
+            # 8.8M-DOF problem (artifacts/probe_full_breakdown.json: tranD
+            # 3.6 GB + accu 0.7).  Small problems keep the materialized
+            # (solve-dtype-exact) operators: the composed chain runs in the
+            # f32 preconditioner dtype, whose restriction noise costs ~1
+            # outer iteration — irrelevant at scale, wasteful at bench-small.
+            import os as _os
+
+            compose_min = int(
+                _os.environ.get("DDPCA_COMPOSE_TRAND_MIN_DOFS", "2000000")
+            )
+            ndp = (
+                mg.levels[dole[0]].A.n_rows
+                if grids is not None
+                and len(set(dole)) == 1
+                and B * n_pad >= compose_min
+                else None
+            )
             with _phase("MCONTACT::MULTISCALE_1 (coarse correction B)"):
                 parts.append(
                     build_coarse_correction(
                         systems, regions, list(dole), n_pad, group_region_idx,
                         m_pads, coarse_solver=coarse_solver,
+                        compose_n_dole_pad=ndp,
                     )
                 )
         coarse = tuple(parts) if parts else None

@@ -200,11 +200,14 @@ def chain_problem(
     levels: int = 1,
     char_fact: float = 25.0,
     structured: bool = False,
+    fric_mid: float = 0.0,
 ) -> tuple[AdmmProblem, AdmmMeta, list[Body]]:
     """A chain of n stacked boxes (alternating non-matching meshes) tied by
     perfect interfaces, except the middle joint which is frictionless
-    contact — the canonical multi-chip fixture: one body per device on the
-    ``domain`` mesh axis."""
+    contact (``fric_mid=0``) or Coulomb frictional contact (``fric_mid>0``,
+    vector mode with a tangential load component so the cone projection is
+    actually exercised) — the canonical multi-chip fixture: one body per
+    device on the ``domain`` mesh axis."""
     bodies = []
     for i in range(n_bodies):
         d = div + (i % 2)  # alternate divisions -> non-matching interfaces
@@ -216,8 +219,10 @@ def chain_problem(
         fix_plane(b, 1, 0.0, (1,))
         bodies.append(b)
     fix_plane(bodies[0], 2, 0.0, (2,))
+    shear = 0.2e7 if fric_mid > 0.0 else 0.0
     apply_pressure(
-        bodies[-1], plane_predicate(2, float(n_bodies)), np.array([0, 0, -1.0e7])
+        bodies[-1], plane_predicate(2, float(n_bodies)),
+        np.array([shear, 0, -1.0e7]),
     )
     rho = penalty(char_fact, char_length(bodies))
     mid = n_bodies // 2
@@ -229,7 +234,8 @@ def chain_problem(
                 bodies, i, i + 1,
                 plane_predicate(2, z), plane_predicate(2, z),
                 lambda x: x[:, :2], (div * 2**levels,) * 2,
-                fric=0.0 if i == mid else -1.0, pena_n=rho,
+                fric=fric_mid if i == mid else -1.0, pena_n=rho,
+                pena_f=rho if (fric_mid > 0.0 and i == mid) else None,
             )
         )
     systems = assemble_bodies(bodies, regions)

@@ -28,8 +28,11 @@ from ..admm.loop import AdmmState
 from ..admm.problem import AdmmProblem
 
 # AdmmProblem fields whose every array leaf is batched over bodies (axis 0=B).
+# The multigrid hierarchy ("mg") is NOT here: its containers need type-aware
+# placement (PlaneDia class tables are shared, not body-batched) — see
+# _place_mg_op in shard_problem.
 _PROBLEM_DOMAIN_FIELDS = frozenset(
-    {"mg", "cons_forc", "gram", "gram_lin", "gram_const", "u_mask"}
+    {"cons_forc", "gram", "gram_lin", "gram_const", "u_mask"}
 )
 # AdmmProblem fields replicated on every device.
 _PROBLEM_REPLICATED_FIELDS = frozenset({"groups", "coarse"})
@@ -79,7 +82,8 @@ def _check_divisible(B: int, mesh: Mesh) -> None:
         )
 
 
-def _place_fields(tree, field_names, domain_fields, replicated_fields, mesh):
+def _place_fields(tree, field_names, domain_fields, replicated_fields, mesh,
+                  passthrough=frozenset()):
     """device_put every array leaf by its top-level field membership.  On a
     multi-axis mesh the body axis is sharded over ALL mesh axes (flattened
     host x domain placement)."""
@@ -95,7 +99,9 @@ def _place_fields(tree, field_names, domain_fields, replicated_fields, mesh):
     parts = {}
     for name in field_names:
         sub = getattr(tree, name)
-        if name in domain_fields:
+        if name in passthrough:
+            parts[name] = sub        # placed by a dedicated pass
+        elif name in domain_fields:
             parts[name] = put(sub, sharded)
         elif name in replicated_fields:
             parts[name] = put(sub, replicated)
@@ -107,22 +113,105 @@ def _place_fields(tree, field_names, domain_fields, replicated_fields, mesh):
     return type(tree)(**parts)
 
 
+def _place_mg_op(op, mesh, sharded, replicated):
+    """Type-aware placement for hierarchy operator containers.
+
+    * Ell / Dia / plain arrays lead with the body axis -> shard over
+      'domain' (each chip owns its bodies' operator rows; SpMV is local).
+    * PlaneDia: the (C, D, P) class-slab table is SHARED by construction
+      (plane dedup, sparse/dia.py) and small -> replicate it; the per-body
+      class ids (B, nz) shard with the bodies when the mesh divides B.  The
+      jnp mv then runs with zero communication: a per-device row gather from
+      the local table copy against locally owned kz/x rows.  (The Pallas
+      kernel is a single-chip fast path; multi-chip runs take the jnp path —
+      set DDPCA_PALLAS=0 on a real multi-chip TPU.)
+    * BatchBlocks (heterogeneous body-shape groups): each group's op covers
+      a body SLICE [a, b) that generally does not align with shard
+      boundaries, so its leaves are replicated wholesale and GSPMD keeps the
+      solve sharded through the elementwise/gather ops against the
+      replicated operands (u's sharding is asserted post-step by
+      assert_state_sharding).  After plane dedup the replicated bytes are
+      the small class tables, not the O(B*n) value arrays.
+    """
+    from ..solvers.mg import BatchBlocks, StructuredProl, StructuredRest
+    from ..sparse.dia import Dia, PlaneDia
+
+    def put(x, sh):
+        return jax.device_put(x, sh) if hasattr(x, "shape") else x
+
+    if op is None:
+        return None
+    if isinstance(op, BatchBlocks):
+        if len(op.ops) == 1:
+            return BatchBlocks(
+                (_place_mg_op(op.ops[0], mesh, sharded, replicated),),
+                op.bounds,
+            )
+        return jax.tree_util.tree_map(lambda x: put(x, replicated), op)
+    if isinstance(op, (StructuredProl, StructuredRest)):
+        inner = op.S if isinstance(op, StructuredProl) else op.St
+        placed = _place_mg_op(inner, mesh, sharded, replicated)
+        args = (placed, op.fshape, op.cshape, op.strides, op.n_c_pad)
+        return type(op)(*args)
+    if isinstance(op, PlaneDia):
+        n_dev = mesh.devices.size
+        kz = (
+            jax.device_put(op.kz, sharded)
+            if op.kz.shape[0] % n_dev == 0
+            else jax.device_put(op.kz, replicated)
+        )
+        return PlaneDia(
+            jax.device_put(op.vals, replicated), kz, op.offsets,
+            op.n_rows, op.plane, op.tail_identity,
+        )
+    if isinstance(op, Dia):
+        return Dia(
+            jax.device_put(op.vals, sharded), op.offsets, op.n_rows,
+            op.tail_identity,
+        )
+    # Ell / arrays / anything body-batched
+    return jax.tree_util.tree_map(lambda x: put(x, sharded), op)
+
+
 def shard_problem(prob: AdmmProblem, mesh: Mesh) -> AdmmProblem:
     """Place every problem field per the placement tables above."""
     _check_divisible(prob.cons_forc.shape[0], mesh)
-    from ..solvers.mg import BatchBlocks
+    from ..solvers.mg import MgHierarchy, MgLevel
 
-    for lv in prob.mg.levels:
-        if isinstance(lv.A, BatchBlocks) and len(lv.A.ops) > 1:
-            raise ValueError(
-                "structured (DIA) hierarchy with heterogeneous body-shape "
-                "groups cannot be 'domain'-sharded; rebuild the problem "
-                "with build_problem(..., structured=False)"
-            )
-    return _place_fields(
+    placed = _place_fields(
         prob, AdmmProblem._fields, _PROBLEM_DOMAIN_FIELDS,
-        _PROBLEM_REPLICATED_FIELDS, mesh,
+        _PROBLEM_REPLICATED_FIELDS, mesh, passthrough=frozenset({"mg"}),
     )
+    # re-place the hierarchy with the type-aware rules (the blanket pass
+    # above would shard PlaneDia class tables over their CLASS axis)
+    sharded = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    replicated = NamedSharding(mesh, P())
+    levels = tuple(
+        MgLevel(
+            A=_place_mg_op(lv.A, mesh, sharded, replicated),
+            inv_diag=jax.device_put(lv.inv_diag, sharded),
+            lmax=jax.device_put(lv.lmax, sharded),
+            P=_place_mg_op(lv.P, mesh, sharded, replicated),
+            Pt=_place_mg_op(lv.Pt, mesh, sharded, replicated),
+        )
+        for lv in prob.mg.levels
+    )
+    mg = MgHierarchy(
+        levels=levels,
+        coarse_inv=(
+            None
+            if prob.mg.coarse_inv is None
+            else jax.device_put(prob.mg.coarse_inv, sharded)
+        ),
+        # A_top aliases the finest-level A when dtypes match (solvers/mg.py)
+        # — keep the alias so the largest operator is not placed twice
+        A_top=(
+            levels[-1].A
+            if prob.mg.A_top is prob.mg.levels[-1].A
+            else _place_mg_op(prob.mg.A_top, mesh, sharded, replicated)
+        ),
+    )
+    return placed._replace(mg=mg)
 
 
 def shard_state(state: AdmmState, prob: AdmmProblem, mesh: Mesh) -> AdmmState:

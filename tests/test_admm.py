@@ -153,3 +153,30 @@ def test_block1_cross_corner_patch():
         full = sysm.full_displacement(u)
         expect = p * body.mesh.coords[:, 2] / E
         assert np.abs(full[2::3] - expect).max() <= 1e-4 * scale
+
+
+def test_composed_coarse_correction_matches_materialized(monkeypatch):
+    """ComposedTranD/ComposedAccu (the 8.8M-DOF memory path: F^T A and
+    accuProl computed through the hierarchy) must converge to the same
+    solution as the materialized operators."""
+    from ddpca_admm_tpu.admm.multiscale import ComposedAccu, ComposedTranD
+    from ddpca_admm_tpu.admm.problem import build_problem
+    from ddpca_admm_tpu.models.block import BlockConfig, build_block_model
+
+    cfg = BlockConfig(divi=(2, 2, 2), glob_leve=1, doma_numb=(1, 1, 1))
+    model = build_block_model(cfg)
+    args = (model.systems, model.regions)
+    kw = dict(dole=[1] * len(model.systems), musc_sett=2)
+    prob_mat, meta = build_problem(*args, **kw)
+    assert not isinstance(prob_mat.coarse[0].tranD, ComposedTranD)
+    st_mat = contact_analysis(prob_mat, tuple(meta.group_modes), max_iter=800)
+    assert bool(st_mat.converged)
+
+    monkeypatch.setenv("DDPCA_COMPOSE_TRAND_MIN_DOFS", "0")
+    prob_cmp, meta2 = build_problem(*args, **kw)
+    assert isinstance(prob_cmp.coarse[0].tranD, ComposedTranD)
+    assert isinstance(prob_cmp.coarse[0].accu, ComposedAccu)
+    st_cmp = contact_analysis(prob_cmp, tuple(meta2.group_modes), max_iter=800)
+    assert bool(st_cmp.converged)
+    um, uc = np.asarray(st_mat.u), np.asarray(st_cmp.u)
+    assert np.abs(uc - um).max() <= 1e-6 * np.abs(um).max()

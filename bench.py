@@ -60,16 +60,32 @@ def _bail(signum, frame):
 
 
 def build(glob_leve: int):
-    from ddpca_admm_tpu.admm.problem import build_problem
-    from ddpca_admm_tpu.models.block import BlockConfig, build_block_model
+    import pickle
 
-    cfg = BlockConfig(
-        divi=(6, 6, 6), glob_leve=glob_leve, doma_numb=(2, 2, 2)
+    from ddpca_admm_tpu.admm.problem import build_problem
+
+    # host-model cache (scripts/probe_full.py writes it): the leve-4 mesh +
+    # assembly stage alone is ~44 minutes, the cache loads in ~3 — device-run
+    # retries must not re-pay it.  Geometry is deterministic for a given
+    # glob_leve, so the cache is keyed by level only.
+    cache = os.path.join(
+        os.path.dirname(__file__), "artifacts", "cache",
+        f"block_leve{glob_leve}_model.pkl",
     )
-    model = build_block_model(cfg)
+    if os.path.exists(cache) and os.environ.get("DDPCA_MODEL_CACHE", "1") != "0":
+        with open(cache, "rb") as f:
+            systems, regions = pickle.load(f)
+    else:
+        from ddpca_admm_tpu.models.block import BlockConfig, build_block_model
+
+        cfg = BlockConfig(
+            divi=(6, 6, 6), glob_leve=glob_leve, doma_numb=(2, 2, 2)
+        )
+        model = build_block_model(cfg)
+        systems, regions = model.systems, model.regions
     prob, meta = build_problem(
-        model.systems, model.regions,
-        dole=[1] * len(model.systems),   # doleMcsc=1, BLOCK.cpp:69-71
+        systems, regions,
+        dole=[1] * len(systems),   # doleMcsc=1, BLOCK.cpp:69-71
         musc_sett=2,                          # muscSett=(1<<1), BLOCK.h:38
     )
     return prob, meta

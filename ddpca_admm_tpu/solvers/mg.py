@@ -313,34 +313,28 @@ def build_hierarchy(
         entries = len(mats) * (round_up(n_rows, RB) // RB) * S * RB * CB
         return entries * 4 <= BELL_MAX_BYTES
 
+    if structured:
+        from ..sparse.dia import dia_from_csr_list as _dia
+        from ..sparse.dia import plane_dia_from_csr_list as _pdia
+
+        def _dia_auto(mats, shape, n_rows, dt, pad_identity=True):
+            # per-z-plane dedup FIRST: PlaneDia is 10-25x smaller than bell
+            # tiles or plain Dia at the 8.8M-DOF scale AND its Pallas kernel
+            # runs the SpMV at ~50% of the HBM roofline in DIA-equivalent
+            # bytes (sparse/pallas_dia.py) — preferred whenever the planes
+            # compress.  Bell (MXU tile einsum) when they don't but tiles
+            # fit the byte budget; plain Dia as the last resort.
+            pd = _pdia(mats, shape, n_rows, dt, pad_identity=pad_identity)
+            if pd is not None:
+                return pd
+            if _bell_fits(mats, n_rows, n_rows) and pad_identity:
+                return device_sparse(mats, n_rows, n_rows, jnp.dtype(dt))
+            return _dia(mats, n_rows, dt, pad_identity=pad_identity)
+
     dev_levels = []
     for l, lv in enumerate(levels):
-        if structured and _bell_fits(lv["mats"], lv["n_pad"], lv["n_pad"]):
-            # small enough for the tile kernel: use the generic path for
-            # this level (A and transfers both)
-            if l > 0:
-                n_fine, n_coar = lv["n_pad"], levels[l - 1]["n_pad"]
-                P = device_sparse(lv["pmats"], n_fine, n_coar, dtype)
-                Pt = device_sparse(
-                    [m.T.tocsr() for m in lv["pmats"]], n_coar, n_fine, dtype
-                )
-            else:
-                P = Pt = None
-            A = device_sparse(lv["mats"], lv["n_pad"], lv["n_pad"], dtype)
-        elif structured:
-            from ..sparse.dia import dia_from_csr_list as _dia
-            from ..sparse.dia import plane_dia_from_csr_list as _pdia
-
+        if structured:
             np_dtype = np.dtype(jnp.dtype(dtype).name)
-
-            def _dia_auto(mats, shape, n_rows, dt, pad_identity=True):
-                # per-z-plane dedup first (10-25x smaller at the 8.8M-DOF
-                # scale); plain Dia when the planes don't compress
-                pd = _pdia(mats, shape, n_rows, dt, pad_identity=pad_identity)
-                if pd is not None:
-                    return pd
-                return _dia(mats, n_rows, dt, pad_identity=pad_identity)
-
             A = _grouped(
                 lambda a, b, lv=lv, l=l: _dia_auto(
                     lv["mats"][a:b], grids[a].shapes[l], lv["n_pad"], np_dtype
@@ -401,12 +395,6 @@ def build_hierarchy(
     sd = a_top_dtype if a_top_dtype is not None else solve_dtype()
     if jnp.dtype(sd) == jnp.dtype(dtype):
         A_top = dev_levels[-1].A
-    elif structured and _bell_fits(
-        levels[-1]["mats"], levels[-1]["n_pad"], levels[-1]["n_pad"]
-    ):
-        A_top = device_sparse(
-            levels[-1]["mats"], levels[-1]["n_pad"], levels[-1]["n_pad"], sd
-        )
     elif structured:
         A_top = _grouped(
             lambda a, b: _dia_auto(

@@ -195,6 +195,43 @@ class PlaneDia:
         return self.vals.nbytes + self.kz.nbytes
 
 
+# plane-dedup merge radius (relative): translated copies of the same
+# element pattern differ only by fp noise from the mesh subdivision
+# arithmetic (~1e-13 relative, measured on BLOCK leve4), so slabs within
+# DEDUP_RTOL merge; genuinely different planes (Dirichlet mask, penalty
+# faces) sit decades apart.  The stored representative is an EXACT slab
+# from one member plane, so the effective operator perturbation is the
+# actual within-class spread (~1e-13), not the merge radius.  Bitwise
+# hashing cannot express this (dense ulp noise straddles any quantization
+# boundary somewhere in a 700k-entry slab), hence representative
+# comparison, pre-filtered by cheap scalar signatures.
+DEDUP_RTOL = 1.0e-8
+
+
+class _SlabDedup:
+    def __init__(self, amax: float):
+        self.amax = max(float(amax), 1.0e-300)
+        self.reps: list[np.ndarray] = []
+        self.sigs: list[tuple[float, float]] = []
+
+    def lookup(self, slab: np.ndarray) -> int | None:
+        tol = DEDUP_RTOL * self.amax
+        s1 = float(slab.sum())
+        s2 = float(np.abs(slab).sum())
+        n = slab.size
+        for cid, (r1, r2) in enumerate(self.sigs):
+            if abs(s1 - r1) > n * tol or abs(s2 - r2) > n * tol:
+                continue
+            if np.allclose(slab, self.reps[cid], rtol=0.0, atol=tol):
+                return cid
+        return None
+
+    def add(self, slab: np.ndarray) -> int:
+        self.reps.append(slab)
+        self.sigs.append((float(slab.sum()), float(np.abs(slab).sum())))
+        return len(self.reps) - 1
+
+
 def plane_dia_from_csr_list(
     mats: Sequence[sp.spmatrix],
     shape: tuple[int, int, int],
@@ -202,16 +239,19 @@ def plane_dia_from_csr_list(
     dtype=np.float32,
     offsets: np.ndarray | None = None,
     pad_identity: bool = True,
-    max_classes: int = 64,
+    max_classes: int | None = None,
 ) -> "PlaneDia | None":
     """Build a PlaneDia for a batch of same-grid matrices, or None when the
     plane population does not compress (> ``max_classes`` distinct slabs —
-    the caller falls back to plain Dia).  ``shape`` = (nz, ny, nx) node grid;
+    the caller falls back to plain Dia).  ``max_classes`` defaults to
+    whichever is larger of 64 and B*nz/8: PlaneDia is kept whenever it
+    compresses the plane population at least ~8x (BLOCK leve4 core group:
+    72 classes for 1176 planes = 16x).  ``shape`` = (nz, ny, nx) node grid;
     active rows are exactly 3*nz*ny*nx, anything beyond (hierarchy padding)
     follows the Dia tail convention."""
-    import hashlib
-
     nz, ny, nx = (int(s) for s in shape)
+    if max_classes is None:
+        max_classes = max(64, (len(mats) * nz) // 8)
     P = 3 * ny * nx
     n_act = nz * P
     if n_act > n_rows or n_act == 0:
@@ -224,8 +264,10 @@ def plane_dia_from_csr_list(
     D = offsets.size
     B = len(mats)
     kz = np.zeros((B, nz), np.int32)
-    classes: dict[bytes, int] = {}
-    slabs: list[np.ndarray] = []
+    amax = max(
+        (float(np.abs(m.data).max()) if m.nnz else 0.0) for m in mats
+    )
+    dedup = _SlabDedup(amax)
     for b, m in enumerate(mats):
         c = m.tocoo()
         if m.shape[0] > n_act:
@@ -236,26 +278,27 @@ def plane_dia_from_csr_list(
                 and (c.data[tail] == 1.0).all()
             ):
                 return None
-        vals = np.zeros((D, n_act), dtype)
+        vals = np.zeros((D, n_act), np.float64)
         keep = c.row < n_act
         k = np.searchsorted(
             offsets, c.col[keep].astype(np.int64) - c.row[keep]
         )
-        np.add.at(vals, (k, c.row[keep]), c.data[keep].astype(dtype))
+        np.add.at(vals, (k, c.row[keep]), c.data[keep])
         if pad_identity and m.shape[0] < n_act:
             zero_slot = int(np.searchsorted(offsets, 0))
             vals[zero_slot, m.shape[0]:] = 1.0
         v3 = vals.reshape(D, nz, P)
         for z in range(nz):
             slab = np.ascontiguousarray(v3[:, z, :])
-            key = hashlib.blake2b(slab.tobytes(), digest_size=16).digest()
-            cid = classes.setdefault(key, len(slabs))
-            if cid == len(slabs):
-                slabs.append(slab)
-                if len(slabs) > max_classes:
+            cid = dedup.lookup(slab)
+            if cid is None:
+                cid = dedup.add(slab)
+                if cid + 1 > max_classes:
                     return None
             kz[b, z] = cid
-    pvals = np.stack(slabs, axis=0)   # (C, D, P)
+    pvals = np.stack(
+        [r.astype(dtype) for r in dedup.reps], axis=0
+    )   # (C, D, P)
     return PlaneDia(
         jnp.asarray(pvals), jnp.asarray(kz),
         tuple(int(o) for o in offsets), n_rows, P,

@@ -10,10 +10,24 @@ writing y:
 
   traffic ~= vals once + 1.5x + y   instead of   ~nz/C * vals  (8-30x less)
 
-Grid: (B bodies, ceil(nz/K) z-tiles).  x is passed FLAT per body with a
-2-plane lead pad; each step reads two adjacent K*P-element blocks (the
-stencil window: offsets span < 2 planes), class ids arrive via scalar
-prefetch, and the D-offset loop is unrolled with static in-window slices.
+Layout: x and y are (B, planes, P) with the LAST dim equal to the full
+plane size (Mosaic's block rule: last two dims divisible by (8, 128) or
+equal to the array dims).  Grid (B bodies, ceil(nz/K) z-tiles); each step
+sees two adjacent K-plane blocks (the stencil window: offsets span < 2
+planes), splits every diagonal offset into (plane shift s, intra-plane
+shift r) and applies it as lane rotations + a masked select — Mosaic has no
+unaligned lane concat, but ``tpu.roll`` handles any plane size.
+
+Axon-relay/x64 gotchas baked in below (each crashed the remote Mosaic
+compile helper with an opaque HTTP 500 until found):
+  * every index map must return int32 — bare Python ints trace as i64
+    under jax_enable_x64;
+  * whole-array BlockSpecs (no block shape) synthesize DEFAULT index maps
+    with i64 zeros — give every operand an explicit full-shape block with
+    an i32 map instead;
+  * PrefetchScalarGridSpec breaks under x64 for the same reason with no
+    user-side override — the class ids travel as a plain SMEM operand;
+  * pltpu.roll needs a non-negative int32 shift.
 
 Reference provenance: TPU execution of the MGPIS operator applications
 (MGPIS.h:55-128) for structured-grid bodies.
@@ -29,25 +43,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget for the resident value table (v5e has 128 MB VMEM; leave room
-# for the x window, y tile, and pipelining buffers)
-VALS_VMEM_MAX = 64 * 1024 * 1024
+# for the x window, y tile, per-plane class stack, and pipelining buffers)
+VALS_VMEM_MAX = 48 * 1024 * 1024
 TILE_PLANES = 8
 
 
-def _kernel(offsets, K, P, kz_ref, x0_ref, x1_ref, vals_ref, y_ref):
+def _kernel(offsets, K, P, interpret, kz_ref, x0_ref, x1_ref, vals_ref,
+            y_ref):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    win = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0)   # (2*K*P,)
-    for j in range(K):
-        cls = kz_ref[b, i * K + j]
-        vj = vals_ref[cls]                                  # (D, P) in VMEM
-        acc = jnp.zeros((P,), vals_ref.dtype)
-        base = (2 + j) * P
-        for d, off in enumerate(offsets):
-            acc = acc + vj[d] * jax.lax.slice_in_dim(
-                win, base + off, base + off + P, axis=0
-            )
-        y_ref[0, j * P:(j + 1) * P] = acc
+    win = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0)   # (2K, P)
+    # per-plane class value slabs for this tile: (K, D, P)
+    V = jnp.stack(
+        [vals_ref[kz_ref[b, i * K + j]] for j in range(K)], axis=0
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (K, P), dimension=1)
+    roll = jnp.roll if interpret else pltpu.roll
+    acc = jnp.zeros((K, P), vals_ref.dtype)
+    # group offsets by intra-plane shift r: a hex8 stencil has ~3x fewer
+    # distinct r than offsets (plane shifts s=-1/0/1 share each r), and one
+    # rotation of the FULL (2K, P) window serves every s — the rolls were
+    # the compute bottleneck (2 per offset -> ~1 per 3 offsets)
+    by_r: dict[int, list[tuple[int, int]]] = {}
+    for d, off in enumerate(offsets):
+        s, r = divmod(off, P)          # r in [0, P)
+        by_r.setdefault(r, []).append((d, s))
+    for r, group in by_r.items():
+        RW = win if r == 0 else roll(win, jnp.int32(P - r), axis=1)
+        for d, s in group:
+            R0 = jax.lax.slice_in_dim(RW, 2 + s, 2 + s + K, axis=0)
+            if r == 0:
+                G = R0
+            else:
+                # two-piece shifted window: piece select per lane
+                R1 = jax.lax.slice_in_dim(RW, 3 + s, 3 + s + K, axis=0)
+                G = jnp.where(lane < P - r, R0, R1)
+            acc = acc + V[:, d, :] * G
+    y_ref[0] = acc
 
 
 def plane_dia_mv_pallas(pd, x: jnp.ndarray, interpret: bool = False):
@@ -65,35 +97,47 @@ def plane_dia_mv_pallas(pd, x: jnp.ndarray, interpret: bool = False):
     nzt = -(-nz // K)
     nz_pad = nzt * K
 
-    xa = x[..., :na].astype(pd.dtype)
-    # flat per-body padding: 2 lead planes (window margin) + tail planes so
-    # the (i+1)-th K*P block read never leaves the array:
-    # total planes = nz_pad + K = 2 + nz + tail
-    tail_planes = nz_pad + K - 2 - nz
-    xp = jnp.pad(xa, ((0, 0), (2 * P, tail_planes * P)))
+    xa = x[..., :na].astype(pd.dtype).reshape(B, nz, P)
+    # 2 lead pad planes (window margin) + tail planes so the (i+1)-th
+    # K-plane block read never leaves the array: 2 + nz + tail = nz_pad + 2K
+    xp = jnp.pad(xa, ((0, 0), (2, nz_pad + 2 * K - 2 - nz), (0, 0)))
     kzp = jnp.pad(pd.kz, ((0, 0), (0, nz_pad - nz)))
+    C, D, _ = pd.vals.shape
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    i32 = jnp.int32
+    NPL = nz_pad + 2 * K
+
+    y = pl.pallas_call(
+        functools.partial(_kernel, offsets, K, P, interpret),
         grid=(B, nzt),
         in_specs=[
-            pl.BlockSpec((1, K * P), lambda b, i, kz: (b, i),
+            pl.BlockSpec((B, nz_pad),
+                         lambda b, i: (i32(0), i32(0)),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, P),
+                         lambda b, i: (i32(b), i32(i), i32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K * P), lambda b, i, kz: (b, i + 1),
+            pl.BlockSpec((1, K, P),
+                         lambda b, i: (i32(b), i32(i) + i32(1), i32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # whole (C, D, P) table
+            pl.BlockSpec((C, D, P),
+                         lambda b, i: (i32(0), i32(0), i32(0)),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K * P), lambda b, i, kz: (b, i),
+        out_specs=pl.BlockSpec((1, K, P),
+                               lambda b, i: (i32(b), i32(i), i32(0)),
                                memory_space=pltpu.VMEM),
-    )
-    y = pl.pallas_call(
-        functools.partial(_kernel, offsets, K, P),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nz_pad * P), pd.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nz_pad, P), pd.dtype),
+        # the resident (C,D,P) table + the per-tile (K,D,P) class stack
+        # exceed the default 16 MB scoped-vmem limit at the 8.8M-DOF scale;
+        # v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024
+        ),
         interpret=interpret,
     )(kzp, xp, xp, pd.vals)
     out_dtype = jnp.promote_types(pd.dtype, x.dtype)
-    y = y[:, :na].astype(out_dtype)
+    y = y[:, :nz, :].reshape(B, na).astype(out_dtype)
     if na == n:
         return y
     tail = (

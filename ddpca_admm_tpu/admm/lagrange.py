@@ -90,8 +90,12 @@ def solve_lagrange(
     moco = []          # per region: [side0, side1] (3m x n_red) couplings
     gapd = []          # per region: (3m,) weighted gaps
     nm_nodes = []      # per region: (m,) non-mortar node ids
-    frames_all = {}    # (body, node) -> accumulated normal, weight
     region_ips = []
+    # per-body nodal normal accumulators (vectorized: scatter-add per corner
+    # instead of a per-(ip, corner) Python dict walk — 10^4+ nodes at DEHW
+    # scale)
+    acc_n: dict[int, np.ndarray] = {}
+    acc_w: dict[int, np.ndarray] = {}
 
     for r in regions:
         ip = r.region.ip
@@ -104,25 +108,24 @@ def solve_lagrange(
         region_ips.append(idx)
         nodes0 = ip.nodes[0][idx]
         w = ip.weight[idx]
-        # accumulate nodal normals
+        if b0 not in acc_n:
+            acc_n[b0] = np.zeros((meshes[b0].n_nodes, 3))
+            acc_w[b0] = np.zeros(meshes[b0].n_nodes)
+        contrib = w[:, None] * ip.basis[idx, 0]     # (I, 3)
         for k in range(4):
-            for i, nid in enumerate(nodes0[:, k]):
-                key = (b0, int(nid))
-                acc = frames_all.get(key)
-                contrib = w[i] * ip.basis[idx[i], 0]
-                if acc is None:
-                    frames_all[key] = [contrib, w[i]]
-                else:
-                    acc[0] = acc[0] + contrib
-                    acc[1] += w[i]
+            np.add.at(acc_n[b0], nodes0[:, k], contrib)
+            np.add.at(acc_w[b0], nodes0[:, k], w)
 
-    # nodal frames
-    frame_of = {}
-    keys = list(frames_all.keys())
-    if keys:
-        normals = np.stack([frames_all[k][0] / frames_all[k][1] for k in keys])
-        frames = _tangent_frame(normals)
-        frame_of = {k: frames[i] for i, k in enumerate(keys)}
+    # nodal frames per body (rows with zero weight never get looked up)
+    frames_by_body: dict[int, np.ndarray] = {}
+    for b0, an in acc_n.items():
+        aw = np.maximum(acc_w[b0], 1.0e-300)[:, None]
+        nrm = an / aw
+        nz_rows = np.linalg.norm(nrm, axis=1) > 0
+        fr = np.tile(np.eye(3), (an.shape[0], 1, 1))
+        if nz_rows.any():
+            fr[nz_rows] = _tangent_frame(nrm[nz_rows])
+        frames_by_body[b0] = fr
 
     for ri, r in enumerate(regions):
         ip = r.region.ip
@@ -152,15 +155,15 @@ def solve_lagrange(
         n_seg = seg_id.max() + 1 if seg_id.size else 0
         D = np.zeros((n_seg, 4, 4))
         M = np.zeros((n_seg, 4, 4))
-        for i in range(idx.size):
-            s = seg_id[i]
-            D[s] += w[i] * np.diag(shape0[i])
-            M[s] += w[i] * np.outer(shape0[i], shape0[i])
+        wdiag = np.zeros((idx.size, 4, 4))
+        wdiag[:, np.arange(4), np.arange(4)] = w[:, None] * shape0
+        np.add.at(D, seg_id, wdiag)
+        np.add.at(M, seg_id, np.einsum("i,ia,ib->iab", w, shape0, shape0))
         A = np.linalg.solve(M.transpose(0, 2, 1), D.transpose(0, 2, 1)).transpose(0, 2, 1)
         dual = np.einsum("iab,ib->ia", A[seg_id], shape0)     # (I,4)
 
         # mortar coupling (notaMoco): rows = 3 per non-mortar node in frame
-        Fr = np.stack([frame_of[(b0, int(n))] for n in uniq])  # (m,3,3)
+        Fr = frames_by_body[b0][uniq]                         # (m,3,3)
         sides = []
         for tv, (nds, shp, bb) in enumerate(
             ((nodes0, shape0, b0), (nodes1, shape1, b1))
@@ -196,9 +199,21 @@ def solve_lagrange(
                 ).tocsr()
                 mat = -mat
             # frame rotation rows: lambda expressed in (n,t1,t2)
-            fr_blocks = sp.block_diag(
-                [Fr[j] for j in range(m)], format="csr"
-            )
+            jj = np.arange(m)
+            fr_blocks = sp.coo_matrix(
+                (
+                    Fr.ravel(),
+                    (
+                        (3 * jj[:, None, None]
+                         + np.arange(3)[None, :, None]
+                         + np.zeros((1, 1, 3), np.int64)).ravel(),
+                        (3 * jj[:, None, None]
+                         + np.arange(3)[None, None, :]
+                         + np.zeros((1, 3, 1), np.int64)).ravel(),
+                    ),
+                ),
+                shape=(3 * m, 3 * m),
+            ).tocsr()
             mat = (fr_blocks @ mat @ systems[bb].expand).tocsr()
             sides.append(mat)
         moco.append(sides)
@@ -215,14 +230,21 @@ def solve_lagrange(
     K_blocks = sp.block_diag(
         [systems[v].cons_stif[-1] for v in range(B)], format="csr"
     )
-    B_rows = sp.lil_matrix((Nl, Nd))
+    br_r, br_c, br_v = [], [], []
     for ri, r in enumerate(regions):
         r0 = 3 * acin_reco[ri]
         for tv in (0, 1):
             bb = r.region.bodies[tv]
-            B_rows[r0 : r0 + moco[ri][tv].shape[0],
-                   base[bb] : base[bb + 1]] += moco[ri][tv]
-    B_rows = B_rows.tocsr()
+            co = moco[ri][tv].tocoo()
+            br_r.append(co.row + r0)
+            br_c.append(co.col + base[bb])
+            br_v.append(co.data)
+    B_rows = sp.coo_matrix(
+        (np.concatenate(br_v) if br_v else np.zeros(0),
+         (np.concatenate(br_r) if br_r else np.zeros(0, np.int64),
+          np.concatenate(br_c) if br_c else np.zeros(0, np.int64))),
+        shape=(Nl, Nd),
+    ).tocsr()
     forc = np.concatenate(
         [np.concatenate([systems[v].cons_forc for v in range(B)]),
          np.concatenate(gapd) if gapd else np.zeros(0)]
@@ -241,38 +263,59 @@ def solve_lagrange(
     u_out = None
     it = 0
     for it in range(max_newton):
-        # slip rows for sliding frictional nodes (MCONTACT.h:3188-3239)
-        extra = sp.lil_matrix((Nd, Nl))
+        # slip rows for sliding frictional nodes (MCONTACT.h:3188-3239):
+        # one global slip operator assembled as COO (the per-node lil_matrix
+        # loop was the host bottleneck above fixture scale)
+        sl_r, sl_c, sl_v = [], [], []
         for ri, r in enumerate(regions):
             mu = regions[ri].region.fric
             if mu <= 0.0:
                 continue
             r0 = 3 * acin_reco[ri]
-            slid = sp.lil_matrix((3 * nm_nodes[ri].size, 3 * nm_nodes[ri].size))
-            for j in np.nonzero(status[ri] == 1)[0]:
-                if hist[ri][j] in (0, 1):
-                    t0, t1 = rel_disp[ri][3 * j + 1], rel_disp[ri][3 * j + 2]
-                else:
-                    t0, t1 = lagr[ri][3 * j + 1], lagr[ri][3 * j + 2]
-                tt = np.hypot(t0, t1)
-                if tt == 0.0:
-                    continue
-                slid[3 * j, 3 * j + 1] = t0 / tt
-                slid[3 * j, 3 * j + 2] = t1 / tt
-            add = (mu * slid.tocsr() @ B_rows[r0 : r0 + 3 * nm_nodes[ri].size])
-            extra[:, r0 : r0 + 3 * nm_nodes[ri].size] += add.T
-        extra = extra.tocsr()
+            js = np.nonzero(status[ri] == 1)[0]
+            if js.size == 0:
+                continue
+            use_rel = np.isin(hist[ri][js], (0, 1))
+            t0 = np.where(use_rel, rel_disp[ri][3 * js + 1],
+                          lagr[ri][3 * js + 1])
+            t1 = np.where(use_rel, rel_disp[ri][3 * js + 2],
+                          lagr[ri][3 * js + 2])
+            tt = np.hypot(t0, t1)
+            ok_t = tt > 0.0
+            js, t0, t1, tt = js[ok_t], t0[ok_t], t1[ok_t], tt[ok_t]
+            rows = r0 + 3 * js
+            sl_r.append(np.repeat(rows, 2))
+            sl_c.append(np.stack([rows + 1, rows + 2], axis=1).ravel())
+            sl_v.append(
+                (mu * np.stack([t0 / tt, t1 / tt], axis=1)).ravel()
+            )
+        if sl_r:
+            slid = sp.coo_matrix(
+                (np.concatenate(sl_v),
+                 (np.concatenate(sl_r), np.concatenate(sl_c))),
+                shape=(Nl, Nl),
+            ).tocsr()
+            extra = (slid @ B_rows).T.tocsr()
+        else:
+            extra = sp.csr_matrix((Nd, Nl))
 
         # active multiplier selection (realMatr, MCONTACT.h:3242-3279)
-        keep_rows = []
+        keep_parts = []
         for ri in range(len(regions)):
             r0 = 3 * acin_reco[ri]
-            for j, st in enumerate(status[ri]):
-                if st == 1:
-                    keep_rows.append(r0 + 3 * j)
-                elif st == 2:
-                    keep_rows.extend([r0 + 3 * j, r0 + 3 * j + 1, r0 + 3 * j + 2])
-        keep_rows = np.array(keep_rows, dtype=np.int64)
+            st = status[ri]
+            j1 = np.nonzero(st == 1)[0]
+            j2 = np.nonzero(st == 2)[0]
+            rows = np.concatenate(
+                [r0 + 3 * j1,
+                 (r0 + 3 * j2[:, None] + np.arange(3)).ravel()]
+            )
+            rows.sort()
+            keep_parts.append(rows)
+        keep_rows = (
+            np.concatenate(keep_parts).astype(np.int64)
+            if keep_parts else np.zeros(0, np.int64)
+        )
         nl = keep_rows.size
         Bk = B_rows[keep_rows]                        # (nl, Nd)
         BkT = (B_rows.T + extra)[:, keep_rows]        # (Nd, nl) incl slip rows
@@ -280,31 +323,38 @@ def solve_lagrange(
 
         # condensation: dominant displacement DOF(s) per multiplier
         # (MCONTACT.h:3283-3324): status1 -> argmax |Bk| within the
-        # non-mortar body block; status2 -> the 3 coupled DOFs
-        cond_dofs = []
+        # non-mortar body block; status2 -> the 3 coupled DOFs.  Works on the
+        # CSR arrays directly — the previous per-row .toarray() materialized
+        # an Nd-length dense vector per multiplier.
+        cond_dofs = np.empty(nl, dtype=np.int64)
+        indptr, indices, data = Bk.indptr, Bk.indices, Bk.data
         row = 0
         ok = True
         for ri, r in enumerate(regions):
             b0 = r.region.bodies[0]
             lo, hi = base[b0], base[b0 + 1]
-            for j, st in enumerate(status[ri]):
-                if st == 1:
-                    rr = Bk[row].toarray().ravel()
-                    seg = np.abs(rr[lo:hi])
-                    cond_dofs.append(lo + int(seg.argmax()))
-                    row += 1
-                elif st == 2:
-                    cols: set[int] = set()
-                    for rr in range(3):
-                        for c in Bk[row + rr].nonzero()[1]:
-                            if lo <= c < hi:
-                                cols.add(int(c))
-                    if len(cols) != 3:
+            st = status[ri]
+            for j in range(st.size):
+                if st[j] == 1:
+                    sl = slice(indptr[row], indptr[row + 1])
+                    cols = indices[sl]
+                    inb = (cols >= lo) & (cols < hi)
+                    vals = np.abs(data[sl][inb])
+                    if vals.size == 0:
                         ok = False
-                    cond_dofs.extend(sorted(cols)[:3])
+                    else:
+                        cond_dofs[row] = cols[inb][int(vals.argmax())]
+                    row += 1
+                elif st[j] == 2:
+                    sl = slice(indptr[row], indptr[row + 3])
+                    cols = np.unique(indices[sl])
+                    cols = cols[(cols >= lo) & (cols < hi)]
+                    if cols.size != 3:
+                        ok = False
+                        cols = np.resize(cols, 3)
+                    cond_dofs[row:row + 3] = cols
                     row += 3
-        cond_dofs = np.array(cond_dofs, dtype=np.int64)
-        assert ok and cond_dofs.size == nl, "condensation pivot failure"
+        assert ok and row == nl, "condensation pivot failure"
 
         mask = np.zeros(Nd, dtype=bool)
         mask[cond_dofs] = True
@@ -367,24 +417,25 @@ def solve_lagrange(
             mu = r.region.fric
             if mu < 0.0:
                 continue
-            for j in range(nm_nodes[ri].size):
-                sene_n = lagr[ri][3 * j] + SENE_SCALE * wd[3 * j]
-                old = status[ri][j]
-                if sene_n <= 0.0:
-                    new = 0
-                elif mu == 0.0:
-                    new = 1
-                else:
-                    if old == 2:
-                        sene_t = np.hypot(lagr[ri][3 * j + 1], lagr[ri][3 * j + 2])
-                    else:
-                        sene_t = mu * lagr[ri][3 * j] + SENE_SCALE * np.hypot(
-                            wd[3 * j + 1], wd[3 * j + 2]
-                        )
-                    new = 1 if sene_t >= mu * sene_n else 2
-                if new != old:
-                    changes += 1
-                status[ri][j] = new
+            lam3 = lagr[ri].reshape(-1, 3)
+            wd3 = wd.reshape(-1, 3)
+            old = status[ri]
+            sene_n = lam3[:, 0] + SENE_SCALE * wd3[:, 0]
+            if mu == 0.0:
+                new = np.where(sene_n <= 0.0, 0, 1)
+            else:
+                sene_t = np.where(
+                    old == 2,
+                    np.hypot(lam3[:, 1], lam3[:, 2]),
+                    mu * lam3[:, 0]
+                    + SENE_SCALE * np.hypot(wd3[:, 1], wd3[:, 2]),
+                )
+                new = np.where(
+                    sene_n <= 0.0, 0,
+                    np.where(sene_t >= mu * sene_n, 1, 2),
+                )
+            changes += int((new != old).sum())
+            status[ri] = new.astype(np.int64)
         if changes == 0:
             break
     return LagrangeResult(u=u_out, lagr=lagr, status=status, iters=it,
@@ -438,25 +489,62 @@ def _restricted_gmg_precond(Khat, systems, base, rest):
 
 
 def _block_inverse(T0: sp.spmatrix, status, regions) -> sp.csr_matrix:
-    """Invert the (1x1 / 3x3) diagonal blocks of T0 (MCONTACT.h:3372-3411)."""
+    """Invert the (1x1 / 3x3) diagonal blocks of T0 (MCONTACT.h:3372-3411).
+
+    Vectorized: slot -> block-id map, one COO filter for the 3x3 block
+    entries, batched np.linalg.inv (the per-multiplier csr indexing loop
+    was quadratic-ish at DEHW scale)."""
     T0 = T0.tocsr()
-    rows, cols, vals = [], [], []
+    n = T0.shape[0]
+    # slot layout: walk the active nodes once to mark 1x1 vs 3x3 slots
+    starts1, starts3 = [], []
     k = 0
-    for ri, r in enumerate(regions):
-        for st in status[ri]:
-            if st == 1:
-                v = T0[k, k]
-                rows.append(k)
-                cols.append(k)
-                vals.append(1.0 / v)
+    for ri in range(len(regions)):
+        st = status[ri]
+        for j in range(st.size):
+            if st[j] == 1:
+                starts1.append(k)
                 k += 1
-            elif st == 2:
-                blk = T0[k : k + 3, k : k + 3].toarray()
-                ib = np.linalg.inv(blk)
-                for a in range(3):
-                    for b in range(3):
-                        rows.append(k + a)
-                        cols.append(k + b)
-                        vals.append(ib[a, b])
+            elif st[j] == 2:
+                starts3.append(k)
                 k += 3
-    return sp.csr_matrix((vals, (rows, cols)), shape=T0.shape)
+    assert k == n
+    starts1 = np.asarray(starts1, dtype=np.int64)
+    starts3 = np.asarray(starts3, dtype=np.int64)
+
+    rows_out, cols_out, vals_out = [], [], []
+    if starts1.size:
+        d = T0.diagonal()
+        rows_out.append(starts1)
+        cols_out.append(starts1)
+        vals_out.append(1.0 / d[starts1])
+    if starts3.size:
+        # block id per slot (-1 for 1x1 slots)
+        bid = np.full(n, -1, np.int64)
+        off = np.full(n, 0, np.int64)
+        for a in range(3):
+            bid[starts3 + a] = np.arange(starts3.size)
+            off[starts3 + a] = a
+        coo = T0.tocoo()
+        sel = (bid[coo.row] >= 0) & (bid[coo.row] == bid[coo.col])
+        blocks = np.zeros((starts3.size, 3, 3))
+        blocks[bid[coo.row[sel]], off[coo.row[sel]], off[coo.col[sel]]] = \
+            coo.data[sel]
+        inv = np.linalg.inv(blocks)
+        a3 = np.arange(3)
+        rows_out.append(
+            (starts3[:, None, None] + a3[None, :, None]
+             + np.zeros((1, 1, 3), np.int64)).ravel()
+        )
+        cols_out.append(
+            (starts3[:, None, None] + a3[None, None, :]
+             + np.zeros((1, 3, 1), np.int64)).ravel()
+        )
+        vals_out.append(inv.ravel())
+    if not rows_out:
+        return sp.csr_matrix((n, n))
+    return sp.csr_matrix(
+        (np.concatenate(vals_out),
+         (np.concatenate(rows_out), np.concatenate(cols_out))),
+        shape=T0.shape,
+    )

@@ -91,3 +91,38 @@ def test_lagrange_restricted_gmg_preconditioner():
         assert np.allclose(uz, expect, atol=5e-4 * scale), (
             f"body {b}: {np.abs(uz - expect).max() / scale}"
         )
+
+
+def test_lagrange_vs_admm_on_block_example():
+    """Cross-solver oracle at example scale (examples/BLOCK.cpp:96-101): the
+    dual-mortar LAGRANGE solution must match the ADMM solution on the BLOCK
+    geometry (3 stacked blocks + guard slabs, frictionless contact between
+    blocks, perfect interfaces inside)."""
+    from ddpca_admm_tpu.admm.loop import contact_analysis
+    from ddpca_admm_tpu.admm.problem import build_problem
+    from ddpca_admm_tpu.models.block import BlockConfig, build_block_model
+    from ddpca_admm_tpu.models.simple import assemble_bodies
+
+    cfg = BlockConfig(divi=(2, 2, 2), glob_leve=1, doma_numb=(1, 1, 1))
+    model = build_block_model(cfg)
+
+    prob, meta = build_problem(
+        model.systems, model.regions, dole=[0] * len(model.systems)
+    )
+    st = contact_analysis(prob, tuple(meta.group_modes), max_iter=1500)
+    assert bool(st.converged)
+
+    systems_np = assemble_bodies(
+        model.bodies, model.regions, include_penalty=False
+    )
+    res = solve_lagrange(
+        systems_np, model.regions, [b.mesh for b in model.bodies],
+        use_device=False,
+    )
+    scale = 1.0e7 * 0.075 / 210.0e9   # |p|*H/E displacement scale
+    for b, sysm in enumerate(systems_np):
+        ua = np.asarray(st.u[b])[: meta.systems[b].n_dof]
+        ua_full = meta.systems[b].full_displacement(ua)
+        ul_full = sysm.full_displacement(res.u[b])
+        err = np.abs(ua_full - ul_full).max() / scale
+        assert err < 1e-3, f"body {b}: ADMM vs LAGRANGE rel err {err:.2e}"

@@ -37,8 +37,48 @@ def _nbytes(tree) -> int:
     return tot
 
 
+def _nbytes_dia_equiv(tree) -> int:
+    """Bytes the operator WOULD occupy as plain (un-deduplicated) DIA —
+    the roofline denominator comparable across formats: PlaneDia stores
+    C class slabs but stands in for nz planes per body, so achieved-GB/s
+    on stored bytes alone would reward slower kernels for compressing."""
+    from ddpca_admm_tpu.sparse.dia import PlaneDia
+
+    import jax
+
+    tot = 0
+    seen = set()
+
+    def walk(obj):
+        nonlocal tot
+        if isinstance(obj, PlaneDia):
+            if id(obj) in seen:
+                return
+            seen.add(id(obj))
+            B, nz = obj.kz.shape
+            C, D, P = obj.vals.shape
+            tot += B * nz * D * P * obj.vals.dtype.itemsize + obj.kz.nbytes
+            return
+        leaves, treedef = jax.tree_util.tree_flatten(
+            obj, is_leaf=lambda x: isinstance(x, PlaneDia) and x is not obj
+        )
+        for lf in leaves:
+            if isinstance(lf, PlaneDia):
+                walk(lf)
+            elif hasattr(lf, "nbytes") and id(lf) not in seen:
+                seen.add(id(lf))
+                tot += lf.nbytes
+
+    walk(tree)
+    return tot
+
+
 def chain_time(f, x, n: int) -> float:
-    """Seconds per op, measured as one jitted chain of n dependent calls."""
+    """Seconds per op, measured as one jitted chain of n dependent calls.
+    The result is reduced to a scalar and read back to HOST: through the
+    axon relay ``block_until_ready`` can return before execution completes
+    (observed: a 7.6 ms kernel 'measured' at 9 us), so only a value
+    round-trip is a trustworthy fence."""
     import jax
     import jax.numpy as jnp
 
@@ -47,13 +87,11 @@ def chain_time(f, x, n: int) -> float:
         def body(i, c):
             y = f(c)
             return y / (jnp.abs(y).max() + 1.0)
-        return jax.lax.fori_loop(0, n, body, x)
+        return jax.lax.fori_loop(0, n, body, x).sum()
 
-    y = g(x)
-    jax.block_until_ready(y)
+    float(g(x))
     t0 = time.perf_counter()
-    y = g(x)
-    jax.block_until_ready(y)
+    float(g(x))
     return (time.perf_counter() - t0) / n
 
 
@@ -80,19 +118,23 @@ def main() -> None:
     top = mg.A_top
     mv_s = chain_time(top.mv, x, 100)
     mv_bytes = _nbytes(top) + 2 * x.nbytes
+    mv_bytes_equiv = _nbytes_dia_equiv(top) + 2 * x.nbytes
     # V-cycle: every level's operator read once per smoother application
     # (CHEB_DEGREE matvecs pre + post + 1 residual at each level) + P/Pt
     from ddpca_admm_tpu.solvers.mg import CHEB_DEGREE
 
     vc_s = chain_time(lambda c: vcycle(mg, c), x, 30)
-    vc_bytes = 0
+    vc_bytes = vc_bytes_equiv = 0
     for lv in mg.levels:
         per_smooth = CHEB_DEGREE
         vc_bytes += _nbytes(lv.A) * (2 * per_smooth + 1)
+        vc_bytes_equiv += _nbytes_dia_equiv(lv.A) * (2 * per_smooth + 1)
         if lv.P is not None:
             vc_bytes += _nbytes(lv.P) + _nbytes(lv.Pt)
+            vc_bytes_equiv += _nbytes_dia_equiv(lv.P) + _nbytes_dia_equiv(lv.Pt)
     if mg.coarse_inv is not None:
         vc_bytes += mg.coarse_inv.nbytes
+        vc_bytes_equiv += mg.coarse_inv.nbytes
 
     out = {
         "device": dev.device_kind,
@@ -105,6 +147,11 @@ def main() -> None:
             "pct_of_peak": (
                 round(100.0 * mv_bytes / mv_s / 1e9 / peak, 1) if peak else None
             ),
+            "dia_equiv_gbs": round(mv_bytes_equiv / mv_s / 1e9, 1),
+            "dia_equiv_pct_of_peak": (
+                round(100.0 * mv_bytes_equiv / mv_s / 1e9 / peak, 1)
+                if peak else None
+            ),
         },
         "vcycle": {
             "seconds": vc_s,
@@ -112,6 +159,11 @@ def main() -> None:
             "achieved_gbs": round(vc_bytes / vc_s / 1e9, 1),
             "pct_of_peak": (
                 round(100.0 * vc_bytes / vc_s / 1e9 / peak, 1) if peak else None
+            ),
+            "dia_equiv_gbs": round(vc_bytes_equiv / vc_s / 1e9, 1),
+            "dia_equiv_pct_of_peak": (
+                round(100.0 * vc_bytes_equiv / vc_s / 1e9 / peak, 1)
+                if peak else None
             ),
         },
     }

@@ -87,12 +87,18 @@ def plane_dia_mv_pallas(pd, x: jnp.ndarray, interpret: bool = False):
 
     Requires max|offset| < 2*P (true for hex8 stencils and nested-grid
     transfer stencils: one node plane + one row + a few dofs).
+
+    When the (C, D, P) value table exceeds the VMEM residency budget (the
+    8.8M-DOF finest level: ~134 MB), the OFFSET axis is chunked: the same
+    kernel runs once per <=``VALS_VMEM_MAX`` slice of the table and the
+    partial products sum.  Traffic = table once + n_chunks*(1.5x + y) —
+    still table-dominated, and no (B, nz, P)-per-offset HLO temps like the
+    jnp fallback (the round-5 full-BLOCK OOM came from exactly those).
     """
     B, nz = pd.kz.shape
     P = pd.plane
     n = pd.n_rows
     na = nz * P
-    offsets = pd.offsets
     K = TILE_PLANES
     nzt = -(-nz // K)
     nz_pad = nzt * K
@@ -105,37 +111,45 @@ def plane_dia_mv_pallas(pd, x: jnp.ndarray, interpret: bool = False):
     C, D, _ = pd.vals.shape
 
     i32 = jnp.int32
-    NPL = nz_pad + 2 * K
 
-    y = pl.pallas_call(
-        functools.partial(_kernel, offsets, K, P, interpret),
-        grid=(B, nzt),
-        in_specs=[
-            pl.BlockSpec((B, nz_pad),
-                         lambda b, i: (i32(0), i32(0)),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, P),
-                         lambda b, i: (i32(b), i32(i), i32(0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, P),
-                         lambda b, i: (i32(b), i32(i) + i32(1), i32(0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, D, P),
-                         lambda b, i: (i32(0), i32(0), i32(0)),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, K, P),
-                               lambda b, i: (i32(b), i32(i), i32(0)),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nz_pad, P), pd.dtype),
-        # the resident (C,D,P) table + the per-tile (K,D,P) class stack
-        # exceed the default 16 MB scoped-vmem limit at the 8.8M-DOF scale;
-        # v5e has 128 MB physical VMEM
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(kzp, xp, xp, pd.vals)
+    def one_chunk(offsets, vals):
+        Dc = vals.shape[1]
+        return pl.pallas_call(
+            functools.partial(_kernel, offsets, K, P, interpret),
+            grid=(B, nzt),
+            in_specs=[
+                pl.BlockSpec((B, nz_pad),
+                             lambda b, i: (i32(0), i32(0)),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, K, P),
+                             lambda b, i: (i32(b), i32(i), i32(0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, P),
+                             lambda b, i: (i32(b), i32(i) + i32(1), i32(0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, Dc, P),
+                             lambda b, i: (i32(0), i32(0), i32(0)),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, K, P),
+                                   lambda b, i: (i32(b), i32(i), i32(0)),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, nz_pad, P), pd.dtype),
+            # the resident (C,Dc,P) table + the per-tile (K,Dc,P) class
+            # stack exceed the default 16 MB scoped-vmem limit at scale;
+            # v5e has 128 MB physical VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(kzp, xp, xp, vals)
+
+    d_max = max(1, _chunk_offsets(pd))
+    y = None
+    for d0 in range(0, D, d_max):
+        d1 = min(D, d0 + d_max)
+        yc = one_chunk(pd.offsets[d0:d1], pd.vals[:, d0:d1, :])
+        y = yc if y is None else y + yc
     out_dtype = jnp.promote_types(pd.dtype, x.dtype)
     y = y[:, :nz, :].reshape(B, na).astype(out_dtype)
     if na == n:
@@ -148,13 +162,22 @@ def plane_dia_mv_pallas(pd, x: jnp.ndarray, interpret: bool = False):
     return jnp.concatenate([y, tail], axis=-1)
 
 
+def _chunk_offsets(pd) -> int:
+    """Offsets per kernel launch so one (C, Dc, P) table slice fits VMEM."""
+    C, D, P = pd.vals.shape
+    per_offset = C * P * pd.vals.dtype.itemsize
+    return min(D, max(1, VALS_VMEM_MAX // max(per_offset, 1)))
+
+
 def pallas_eligible(pd, x: jnp.ndarray) -> bool:
     """The kernel covers the solver's standard call shape: one batch axis
-    matching the matrix batch, offsets within the 2-plane window, and a
-    value table that fits the VMEM residency budget."""
+    matching the matrix batch, offsets within the 2-plane window, and at
+    least one offset's (C, P) slab fitting the VMEM residency budget (the
+    offset axis chunks, so the FULL table need not fit)."""
+    C, D, P = pd.vals.shape
     return (
         x.ndim == 2
         and x.shape[0] == pd.kz.shape[0]
         and max(abs(o) for o in pd.offsets) < 2 * pd.plane
-        and pd.vals.nbytes <= VALS_VMEM_MAX
+        and C * P * pd.vals.dtype.itemsize <= VALS_VMEM_MAX
     )

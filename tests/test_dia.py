@@ -155,3 +155,27 @@ def test_plane_dia_pallas_interpret_matches_jnp():
     y_ref = np.asarray(pd.mv(x))
     y_pal = np.asarray(plane_dia_mv_pallas(pd, x, interpret=True))
     np.testing.assert_allclose(y_pal, y_ref, rtol=2e-6, atol=1e-6)
+
+
+def test_plane_dia_pallas_chunked_offsets_matches_jnp(monkeypatch):
+    """When the value table exceeds VALS_VMEM_MAX the kernel chunks the
+    offset axis and sums partial products (the 8.8M-DOF finest-level path:
+    a ~134 MB table cannot stay VMEM-resident)."""
+    import ddpca_admm_tpu.sparse.pallas_dia as pdk
+
+    rng = np.random.default_rng(11)
+    nz, ny, nx = 10, 3, 2
+    mats = [_banded_grid_matrix(nz, ny, nx, rng) for _ in range(3)]
+    n = mats[0].shape[0]
+    pd = plane_dia_from_csr_list(mats, (nz, ny, nx), n, np.float32,
+                                 max_classes=3 * nz + 2)
+    assert pd is not None
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    # shrink the budget so one chunk holds only a few offsets
+    per_offset = pd.vals.shape[0] * pd.plane * pd.vals.dtype.itemsize
+    monkeypatch.setattr(pdk, "VALS_VMEM_MAX", 3 * per_offset)
+    assert pdk.pallas_eligible(pd, x)
+    assert pdk._chunk_offsets(pd) == 3
+    y_ref = np.asarray(pd.mv(x))
+    y_pal = np.asarray(pdk.plane_dia_mv_pallas(pd, x, interpret=True))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-6, atol=1e-6)

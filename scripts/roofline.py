@@ -73,25 +73,27 @@ def _nbytes_dia_equiv(tree) -> int:
     return tot
 
 
-def chain_time(f, x, n: int) -> float:
+def chain_time(apply, op, x, n: int) -> float:
     """Seconds per op, measured as one jitted chain of n dependent calls.
     The result is reduced to a scalar and read back to HOST: through the
     axon relay ``block_until_ready`` can return before execution completes
     (observed: a 7.6 ms kernel 'measured' at 9 us), so only a value
-    round-trip is a trustworthy fence."""
+    round-trip is a trustworthy fence.  ``op`` is a jit ARGUMENT, not a
+    closure: closing over a full-scale operator embeds its arrays as HLO
+    constants and blows the remote-compile payload limit (HTTP 413)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def g(x):
+    def g(op, x):
         def body(i, c):
-            y = f(c)
+            y = apply(op, c)
             return y / (jnp.abs(y).max() + 1.0)
         return jax.lax.fori_loop(0, n, body, x).sum()
 
-    float(g(x))
+    float(g(op, x))
     t0 = time.perf_counter()
-    float(g(x))
+    float(g(op, x))
     return (time.perf_counter() - t0) / n
 
 
@@ -116,14 +118,14 @@ def main() -> None:
 
     # finest-level SpMV: bytes = operator (tiles+indices) + x + y
     top = mg.A_top
-    mv_s = chain_time(top.mv, x, 100)
+    mv_s = chain_time(lambda t, c: t.mv(c), top, x, 100)
     mv_bytes = _nbytes(top) + 2 * x.nbytes
     mv_bytes_equiv = _nbytes_dia_equiv(top) + 2 * x.nbytes
     # V-cycle: every level's operator read once per smoother application
     # (CHEB_DEGREE matvecs pre + post + 1 residual at each level) + P/Pt
     from ddpca_admm_tpu.solvers.mg import CHEB_DEGREE
 
-    vc_s = chain_time(lambda c: vcycle(mg, c), x, 30)
+    vc_s = chain_time(lambda m, c: vcycle(m, c), mg, x, 30)
     vc_bytes = vc_bytes_equiv = 0
     for lv in mg.levels:
         per_smooth = CHEB_DEGREE

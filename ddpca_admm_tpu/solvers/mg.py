@@ -156,6 +156,15 @@ class StructuredRest:
         return out
 
 CHEB_DEGREE = 3
+
+# Below this un-deduplicated DIA footprint the SpMV is latency-bound, not
+# bandwidth-bound, and plain Dia's direct per-offset reads beat BOTH the
+# PlaneDia class gather and the Pallas kernel's per-body grid overhead
+# (r5 measured, bench-small V-cycle: Dia-mix 1.11 ms vs PlaneDia-everywhere
+# 1.33 ms vs BlockEll 1.81 ms).  Weakly-compressing groups (<4x plane
+# dedup) under this size take plain Dia; tests pin it to 0 to force the
+# PlaneDia path on tiny fixtures.
+DIA_LATENCY_BYTES = 64 << 20
 CHEB_LOWER_FRACTION = 0.25   # smoothing interval [lmax/4, 1.02*lmax]
 CHEB_UPPER_SAFETY = 1.02
 
@@ -321,12 +330,18 @@ def build_hierarchy(
             # per-z-plane dedup FIRST: PlaneDia is 10-25x smaller than bell
             # tiles or plain Dia at the 8.8M-DOF scale AND its Pallas kernel
             # runs the SpMV at ~50% of the HBM roofline in DIA-equivalent
-            # bytes (sparse/pallas_dia.py) — preferred whenever the planes
-            # compress.  Bell (MXU tile einsum) when they don't but tiles
-            # fit the byte budget; plain Dia as the last resort.
+            # bytes (sparse/pallas_dia.py) — preferred whenever the dedup
+            # pays (>=4x) or the un-deduplicated bytes would be HBM-bound.
+            # Small weakly-compressing groups take plain Dia; BlockEll (MXU
+            # tile einsum) only where no structured format applies.
             pd = _pdia(mats, shape, n_rows, dt, pad_identity=pad_identity)
             if pd is not None:
-                return pd
+                C, D, P = pd.vals.shape
+                planes = pd.kz.size
+                dia_bytes = planes * D * P * np.dtype(dt).itemsize
+                if 4 * C <= planes or dia_bytes > DIA_LATENCY_BYTES:
+                    return pd
+                return _dia(mats, n_rows, dt, pad_identity=pad_identity)
             if _bell_fits(mats, n_rows, n_rows) and pad_identity:
                 return device_sparse(mats, n_rows, n_rows, jnp.dtype(dt))
             return _dia(mats, n_rows, dt, pad_identity=pad_identity)

@@ -242,17 +242,27 @@ def plane_dia_from_csr_list(
     max_classes: int | None = None,
 ) -> "PlaneDia | None":
     """Build a PlaneDia for a batch of same-grid matrices, or None when the
-    plane population does not compress (> ``max_classes`` distinct slabs —
-    the caller falls back to plain Dia).  ``max_classes`` defaults to
-    whichever is larger of 64 and B*nz/8: PlaneDia is kept whenever it
-    compresses the plane population at least ~8x (BLOCK leve4 core group:
-    72 classes for 1176 planes = 16x).  ``shape`` = (nz, ny, nx) node grid;
+    class table would not serve the Pallas kernel (> ``max_classes``
+    distinct slabs — the caller falls back to BlockEll/plain Dia).
+
+    ``max_classes`` defaults to the VMEM residency budget of the Pallas
+    SpMV kernel (sparse/pallas_dia.py chunks the offset axis, so the bound
+    is per-offset: C*P*itemsize <= VALS_VMEM_MAX).  The kernel's traffic is
+    table-ONCE regardless of how well the planes dedup, so even a ~1x
+    "compression" beats BlockEll tiles or plain Dia wall-clock (measured
+    r5: the bench-small core group dedups only 168 planes -> 72 classes,
+    2.3x, and its V-cycle still runs 1.6x faster as PlaneDia than as
+    BlockEll).  The old >= 8x-compression rule predates the kernel and
+    demoted exactly those groups.  ``shape`` = (nz, ny, nx) node grid;
     active rows are exactly 3*nz*ny*nx, anything beyond (hierarchy padding)
     follows the Dia tail convention."""
     nz, ny, nx = (int(s) for s in shape)
-    if max_classes is None:
-        max_classes = max(64, (len(mats) * nz) // 8)
     P = 3 * ny * nx
+    if max_classes is None:
+        from .pallas_dia import VALS_VMEM_MAX
+
+        itemsize = np.dtype(dtype).itemsize
+        max_classes = max(64, VALS_VMEM_MAX // max(P * itemsize, 1))
     n_act = nz * P
     if n_act > n_rows or n_act == 0:
         return None

@@ -19,9 +19,14 @@ DIRE_MAXI_SUBD = 50_000    # subdomain problems
 # reference's DIRE_MAXI assumes a *sparse* LDLT (PREP.h:69); our device
 # stand-in is a padded dense inverse (O(N^2) memory, O(N^3) host setup), so
 # the automatic dispatch flips to the DOUBLE_M DD-multigrid path much
-# earlier.  6144 = 48 x 128-lane tiles: a 6k^2 f32 inverse is 144 MB HBM and
-# a few seconds of host LAPACK.
-DENSE_COARSE_MAXI = 6_144
+# earlier.  8192 = 64 x 128-lane tiles: an 8k^2 f32 inverse is 268 MB HBM
+# and ~30 s of host LAPACK — worth it, because a V-cycle whose coarsest
+# solve is exact (one matmul) instead of a Chebyshev sweep cuts the
+# latency-bound coarse-correction CG that dominates each ADMM step
+# (bench-small: the coarse DD-MG's own coarsest level is 6400 dofs, which
+# the old 6144 cap just missed; measured r5, per-step 0.18 s -> see
+# scripts/profile_step2.py).
+DENSE_COARSE_MAXI = 8_192
 COGR_MAXI = 100_000        # plain-CG fallback (rarely reached)
 
 # Dense-solve cutoff on TPU: below this row count a padded dense Cholesky

@@ -119,6 +119,11 @@ def test_structured_plane_dia_solve_matches_bell(monkeypatch):
     assert bool(st_ref.converged)
 
     monkeypatch.setattr(bell, "BELL_MAX_BYTES", 0)
+    # tiny fixture: defeat the latency-bound plain-Dia demotion so the
+    # PlaneDia solve path is actually exercised (solvers/mg.py policy)
+    import ddpca_admm_tpu.solvers.mg as mgmod
+
+    monkeypatch.setattr(mgmod, "DIA_LATENCY_BYTES", 0)
     prob_dia, meta2 = build_problem(
         model.systems, model.regions, dole=[0] * len(model.systems)
     )
